@@ -1,0 +1,65 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Centralizes every config that matters for the 100 TB design point so tests,
+bench, and the driver contract all run the same plan shapes:
+
+- AQE on (runtime coalescing, skew-join splitting) — head-domain skew in
+  crawl data is handled by salting + AQE, per SURVEY.md §4.2.1.
+- Arrow enabled + bounded ``maxRecordsPerBatch`` so grouped-kernel batches
+  (applyInPandas) stay memory-safe when a hot series-group is large.
+- Session timezone pinned UTC so DuckDB oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB these become cluster-level knobs (spark-submit --conf); the values
+# here are the local[32] test shape. shuffle.partitions ~ cores locally; on a
+# real cluster AQE coalesces from a high initial count, so we set the initial
+# partition number high and let AQE shrink.
+_BASE_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # applyInPandas groups must arrive whole; this caps per-batch memory only
+    # for mapInPandas/scalar pandas UDFs.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "tslib_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the two-parallelism scaling bench can run the same code at local[8] and
+    local[32].
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_BASE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
