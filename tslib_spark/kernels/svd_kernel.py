@@ -1,0 +1,249 @@
+"""Grouped Arrow kernels: HSVT/ALS imputation + forecast over tidy tables.
+
+The distribution contract (SURVEY.md §3): one ``applyInPandas`` group = one
+*series-group* — the set {target} ∪ donors that forms one stacked page
+matrix. The tidy input is ``(group_id, series_key, bucket_idx, value)``
+with SQL NULL for missing observations. Spark plans the scan/filter/shuffle
+(a single hash partition on group_id); the kernel crosses the JVM↔Python
+Arrow boundary once per group and runs small-matrix BLAS.
+
+Correctness traps handled here (SURVEY.md §7):
+- Spark gives NO intra-group row order into applyInPandas → every kernel
+  sorts by bucket_idx first.
+- SVD sign indeterminacy → only reconstructions are ever emitted/compared,
+  never factors.
+- Group size is asserted (donors+target × N*M points) so a malformed head
+  group fails loudly instead of OOMing an executor.
+
+Per BASELINE.json input_hint there is no per-row Python anywhere: kernels
+are vectorized numpy over Arrow batches; the dot products in the SQL
+forecast path are JVM-side (zip_with/aggregate).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tslib_spark.kernels import linalg
+
+FIT_OUTPUT_SCHEMA = "group_id string, kind string, series_key string, idx long, value double"
+FORECAST_OUTPUT_SCHEMA = "group_id string, idx long, forecast double"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Mirror of the reference model hyperparameters (tsSVDModel.py:25-49)."""
+
+    target_key: str
+    N: int
+    M: int
+    k: int
+    donor_keys: tuple[str, ...] = field(default_factory=tuple)
+    p: float = 1.0
+    include_past_only: bool = True
+    method: str = "svd"  # 'svd' (HSVT) or 'als' (weighted ridge ALS)
+    als_seed: int = 0
+
+
+def _prep_group(pdf: pd.DataFrame, cfg: ModelConfig):
+    """Sort, split by key, validate lengths; returns ({key: values}, {key: idx})."""
+    keys = list(cfg.donor_keys) + [cfg.target_key]
+    series, idxs = {}, {}
+    T = cfg.N * cfg.M
+    for key in keys:
+        sub = pdf[pdf["series_key"] == key].sort_values("bucket_idx")
+        if len(sub) < T:
+            raise ValueError(
+                f"series {key!r} in group {pdf['group_id'].iloc[0]!r} has "
+                f"{len(sub)} points; model needs N*M = {T}"
+            )
+        series[key] = sub["value"].to_numpy(dtype=np.float64)[-T:]
+        idxs[key] = sub["bucket_idx"].to_numpy(dtype=np.int64)[-T:]
+    return series, idxs
+
+
+def _fit_group(pdf: pd.DataFrame, cfg: ModelConfig) -> pd.DataFrame:
+    series, idxs = _prep_group(pdf, cfg)
+    gid = pdf["group_id"].iloc[0]
+    n_series = len(cfg.donor_keys) + 1
+
+    if cfg.method == "als":
+        raw = linalg.stack_series(series, cfg.target_key, list(cfg.donor_keys), cfg.N, cfg.M)
+        denoised, last_row = linalg.als_fit_matrix(raw, cfg.k, seed=cfg.als_seed)
+        weights = linalg.compute_weights(
+            denoised, last_row, len(cfg.donor_keys), cfg.N, cfg.k, cfg.p,
+            cfg.include_past_only, method="als",
+        )
+    else:
+        # middle-value fill is GLOBAL across all series of the group
+        # (reference computes nanmax/nanmin over the whole keyToSeriesDF,
+        # tsSVDModel.py:142-148)
+        allv = np.concatenate(list(series.values()))
+        mid = linalg.middle_value(allv)
+        filled = {k: np.where(np.isnan(v), mid, v) for k, v in series.items()}
+        raw = linalg.stack_series(filled, cfg.target_key, list(cfg.donor_keys), cfg.N, cfg.M)
+        last_row = raw[-1, :].copy()
+        denoised = linalg.hsvt(raw, cfg.k, cfg.p)
+        weights = linalg.compute_weights(
+            denoised, last_row, len(cfg.donor_keys), cfg.N, cfg.k, cfg.p,
+            cfg.include_past_only, method="svd",
+        )
+
+    out_gid, out_kind, out_key, out_idx, out_val = [], [], [], [], []
+    ordered = list(cfg.donor_keys) + [cfg.target_key]
+    for s, key in enumerate(ordered):
+        block = denoised[s * cfg.N : (s + 1) * cfg.N, :]
+        vals = linalg.unfold(block)
+        out_gid.extend([gid] * vals.size)
+        out_kind.extend(["imputed"] * vals.size)
+        out_key.extend([key] * vals.size)
+        out_idx.extend(idxs[key].tolist())
+        out_val.extend(vals.tolist())
+
+    out_gid.extend([gid] * weights.size)
+    out_kind.extend(["weight"] * weights.size)
+    out_key.extend([cfg.target_key] * weights.size)
+    out_idx.extend(range(weights.size))
+    out_val.extend(weights.tolist())
+
+    return pd.DataFrame(
+        {"group_id": out_gid, "kind": out_kind, "series_key": out_key, "idx": out_idx, "value": out_val}
+    )
+
+
+def fit_transform(df: DataFrame, cfg: ModelConfig, group_col: str = "group_id") -> DataFrame:
+    """Fit the matrix-estimation model per group; emit imputed rows + weights.
+
+    Input: tidy (group_col, series_key, bucket_idx, value/NULL).
+    Output rows: kind='imputed' (series_key, idx=bucket_idx, value) and
+    kind='weight' (idx=weight position, value=weight).
+    One shuffle (hash on group_col), one Arrow round-trip per group.
+    """
+    tidy = df.select(
+        F.col(group_col).cast("string").alias("group_id"),
+        F.col("series_key").cast("string"),
+        F.col("bucket_idx").cast("long"),
+        F.col("value").cast("double"),
+    )
+    return tidy.groupBy("group_id").applyInPandas(
+        lambda pdf: _fit_group(pdf, cfg), schema=FIT_OUTPUT_SCHEMA
+    )
+
+
+def impute(df: DataFrame, cfg: ModelConfig, group_col: str = "group_id") -> DataFrame:
+    """Imputed/denoised tidy rows only (denoisedDF semantics, tsSVDModel.py:96-110)."""
+    fit = fit_transform(df, cfg, group_col)
+    return fit.filter(F.col("kind") == "imputed").select(
+        "group_id", "series_key", F.col("idx").alias("bucket_idx"), F.col("value").alias("value_imputed")
+    )
+
+
+def fit_weights(df: DataFrame, cfg: ModelConfig, group_col: str = "group_id") -> DataFrame:
+    """Model-state table: one row per group with the regression weight vector."""
+    fit = fit_transform(df, cfg, group_col)
+    return (
+        fit.filter(F.col("kind") == "weight")
+        .groupBy("group_id")
+        .agg(F.sort_array(F.collect_list(F.struct("idx", "value"))).alias("w"))
+        .select("group_id", F.col("w.value").alias("weights"))
+    )
+
+
+def _forecast_group(actuals: pd.DataFrame, state: pd.DataFrame, cfg: ModelConfig, train_end_idx: int) -> pd.DataFrame:
+    if state.empty or actuals.empty:
+        return pd.DataFrame({"group_id": [], "idx": [], "forecast": []})
+    gid = actuals["group_id"].iloc[0]
+    weights = np.asarray(state.sort_values("idx")["value"].to_numpy(), dtype=np.float64)
+
+    # Gaps in the realized actuals are middle-filled (the reference's rule
+    # for NaNs in incoming data, tsSVDModel.py:196-203); its predict()
+    # assumes complete vectors, which crawl series are not.
+    allv = actuals["value"].to_numpy(dtype=np.float64)
+    mid = linalg.middle_value(allv)
+
+    def split(key):
+        sub = actuals[actuals["series_key"] == key].sort_values("bucket_idx")
+        vals = sub["value"].to_numpy(dtype=np.float64)
+        vals = np.where(np.isnan(vals), mid, vals)
+        idx = sub["bucket_idx"].to_numpy(dtype=np.int64)
+        train_mask = idx < train_end_idx
+        return vals[train_mask], vals[~train_mask], idx[~train_mask]
+
+    tgt_train, tgt_test, test_idx = split(cfg.target_key)
+    donor_train = {}
+    donor_test = {}
+    for k in cfg.donor_keys:
+        tr, te, _ = split(k)
+        donor_train[k] = tr
+        donor_test[k] = te
+
+    preds = linalg.rolling_forecast(
+        weights, tgt_train, tgt_test, cfg.N,
+        donor_train_tails=donor_train, donor_test_actuals=donor_test,
+        donor_keys=list(cfg.donor_keys), include_past_only=cfg.include_past_only,
+    )
+    return pd.DataFrame({"group_id": gid, "idx": test_idx, "forecast": preds})
+
+
+def forecast(
+    actuals: DataFrame,
+    weights_state: DataFrame,
+    cfg: ModelConfig,
+    train_end_idx: int,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Rolling forecast per group via cogrouped kernels.
+
+    ``actuals`` holds observed values for train tail + test horizon (the
+    reference forecasts from realized values, not prior predictions);
+    ``weights_state`` is fit_transform's kind='weight' rows. One co-shuffle
+    on group_id, one kernel call per group for the whole horizon — versus
+    the reference's per-step driver loop (M2 round trips).
+    """
+    tidy = actuals.select(
+        F.col(group_col).cast("string").alias("group_id"),
+        F.col("series_key").cast("string"),
+        F.col("bucket_idx").cast("long"),
+        F.col("value").cast("double"),
+    )
+    state = weights_state.select("group_id", "idx", "value")
+    return tidy.groupby("group_id").cogroup(state.groupby("group_id")).applyInPandas(
+        lambda a, s: _forecast_group(a, s, cfg, train_end_idx), schema=FORECAST_OUTPUT_SCHEMA
+    )
+
+
+def forecast_sql(
+    actuals: DataFrame,
+    weights_df: DataFrame,
+    N: int,
+    train_end_idx: int,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Donor-free forecast as pure JVM SQL — the scale path for wide fan-out.
+
+    Lag vectors come from a window ``collect_list`` over the last N-1 actual
+    points; the dot product is ``aggregate(zip_with(...))`` — whole-stage
+    codegen, no Python. ``weights_df`` is (group_id, weights array<double>)
+    and is broadcast (model state is tiny next to the series table).
+    """
+    w = Window.partitionBy(group_col).orderBy("bucket_idx").rowsBetween(-(N - 1), -1)
+    lagged = actuals.withColumn("lags", F.collect_list("value").over(w))
+    test = lagged.filter(F.col("bucket_idx") >= F.lit(train_end_idx)).filter(
+        F.size("lags") == N - 1
+    )
+    joined = test.join(F.broadcast(weights_df), group_col)
+    dot = F.aggregate(
+        F.zip_with("lags", "weights", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return joined.select(
+        F.col(group_col).alias("group_id"),
+        F.col("bucket_idx").alias("idx"),
+        dot.alias("forecast"),
+    )
