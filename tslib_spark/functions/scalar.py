@@ -1,0 +1,35 @@
+"""Scalar/aggregate expressions mirroring the reference's utility math.
+
+All JVM-side column expressions (whole-stage codegen) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_expr(value: Column, vmax: Column, vmin: Column) -> Column:
+    """Affine map to [-1, 1] (reference: tsUtils.py:102-108)."""
+    mid = (vmax + vmin) / 2.0
+    half = (vmax - vmin) / 2.0
+    return (value - mid) / half
+
+
+def unnormalize_expr(value: Column, vmax: Column, vmin: Column) -> Column:
+    """Inverse of normalize (tsUtils.py:110-116)."""
+    mid = (vmax + vmin) / 2.0
+    half = (vmax - vmin) / 2.0
+    return value * half + mid
+
+
+def rmse_agg(a: Column, b: Column) -> Column:
+    """sqrt(mean((a-b)^2)) as an aggregate expression (tsUtils.py:83-84).
+
+    Squares are carried as decimal(38,18) before summing so the aggregate is
+    order-insensitive (bit-stable across partitionings and vs DuckDB).
+    """
+    sq = ((a - b) * (a - b)).cast("decimal(38,18)")
+    # cast the exact decimal sum to double BEFORE dividing: decimal division
+    # picks engine-specific result scales, double division is IEEE-exact.
+    return F.sqrt(F.sum(sq).cast("double") / F.count(F.lit(1)))

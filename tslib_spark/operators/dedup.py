@@ -1,0 +1,209 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four families, all shuffle-conscious:
+
+- **Exact**: hash-groupBy on content fingerprint. One shuffle on a 64-bit
+  key; at 10^12 docs the shuffle carries (fingerprint, min_id, count) after
+  map-side combine — tiny.
+- **MinHash + LSH**: shingle → per-shingle hashes → signature (array_min per
+  hash seed, all JVM expressions, zero shuffle) → band buckets → self-join
+  within buckets only. The band join is the only shuffle, on (band, hash) —
+  the classic sub-quadratic near-dup path.
+- **SimHash**: 64-bit majority-of-token-hash-bits signature; near-dups =
+  small Hamming distance within LSH-style bit-block buckets.
+- **Exact n-gram Jaccard**: the verifier for candidate pairs (array
+  intersect/union on shingle sets).
+
+Embedding-cosine near-dup lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tslib_spark.functions.text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One survivor (min id) per distinct content; counts kept for lineage."""
+    return (
+        df.groupBy(F.col(text_col))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+def shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram set per doc — pure array expressions, no explode."""
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return df.withColumn(out_col, F.array_distinct(grams))
+
+
+def minhash_signature(
+    df: DataFrame, shingle_col: str = "shingles", num_hashes: int = 64, seed: int = 42,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """num_hashes-wide MinHash signature: min over xxhash64(shingle, seed_i).
+
+    Entirely JVM-side column expressions — the signature costs no shuffle
+    and no Python.
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col(shingle_col), lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    minhash_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become candidate pairs.
+
+    Shuffle = one explode to (doc, band) rows + a self-equi-join on
+    (band, band_hash). AQE's skew-join handles degenerate buckets (e.g.
+    boilerplate-heavy shards); for adversarial inputs cap bucket size
+    upstream with a count filter.
+    """
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[
+                    F.element_at(F.col(minhash_col), b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ]),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = df.select(F.col(id_col).alias("_id"), F.posexplode(band_arr).alias("band", "band_hash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs_with_shingles: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keeps pairs ≥ threshold.
+
+    Two joins against the (id, shingles) projection; candidates are already
+    sub-quadratic so this is cheap relative to the corpus.
+    """
+    a = docs_with_shingles.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("_sh_a"))
+    b = docs_with_shingles.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("_sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify."""
+    rows_per_band = num_hashes // bands
+    sh = shingles(df.select(id_col, text_col), text_col, n)
+    mh = minhash_signature(sh, num_hashes=num_hashes, seed=seed)
+    cands = lsh_candidate_pairs(mh, id_col, bands=bands, rows_per_band=rows_per_band)
+    return jaccard_verify(cands, sh, id_col, threshold=threshold)
+
+
+def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash: bit b = majority vote of token-hash bit b.
+
+    Implemented as 64 JVM aggregate expressions over the token array —
+    no shuffle, no Python. Weight = token frequency (aggregate over all
+    occurrences, not the distinct set).
+    """
+    toks = tokens(F.col(text_col))
+
+    def _vote(b: int):
+        # closure factory: F.aggregate's merge lambda must take exactly
+        # (acc, x) — a bound default arg changes the arity Spark sees
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + (F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+
+    bit_votes = [_vote(b) for b in range(64)]
+    sim = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        sim = sim + F.when(vote > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0))
+    return df.withColumn(out_col, sim)
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, simhash_col: str = "simhash", max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit signature into ``blocks`` 16-bit
+    blocks; any pair within distance d < blocks shares at least one exact
+    block → self-join per block bucket, verify with bit_count(xor).
+    """
+    block_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col(simhash_col), b * (64 // blocks))
+            .bitwiseAND(F.lit((1 << (64 // blocks)) - 1))
+            for b in range(blocks)
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.col(simhash_col).alias("_sh"),
+        F.posexplode(block_arr).alias("blk", "blk_val"),
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.blk_val") == F.col("r.blk_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming") <= max_hamming)
