@@ -1,0 +1,219 @@
+"""Headline benchmark. Prints ONE JSON line per the driver contract.
+
+Workloads:
+- crawl pipeline (the north-star path): synthesized pages parquet →
+  1-minute rollup → hour/day/week tier chain → checksum (forces full
+  materialization). Reports rolled-up points/sec.
+- contract queries on $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+- two-parallelism scaling: the same crawl pipeline at local[N/4] and
+  local[N] on the identical parquet input (sandbox proxy for N vs 4N
+  executors, BASELINE.json north_rule) → scaling_efficiency.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_EVENTS (pages scale, default 4_000_000),
+SPARK_GRAFT_SKIP_SCALING=1 to skip the second-parallelism run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tslib_spark.datagen.crawl import generate_pages  # noqa: E402
+from tslib_spark.operators.downsample import tier_chain  # noqa: E402
+from tslib_spark.operators.gapfill import densify_grid, interpolate_linear  # noqa: E402
+from tslib_spark.operators.rollup import rollup_pages  # noqa: E402
+from tslib_spark.session import get_spark  # noqa: E402
+
+PAGES_PATH = "/tmp/tslib_spark_bench_pages"
+KEYS = ["url", "lang"]
+
+
+def ensure_pages(spark, n_events: int) -> None:
+    marker = os.path.join(PAGES_PATH, "_SCALE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == str(n_events):
+                return
+        shutil.rmtree(PAGES_PATH, ignore_errors=True)
+    pages = generate_pages(spark, n_events=n_events, n_urls=20_000, n_minutes=60 * 24 * 21)
+    pages.write.mode("overwrite").parquet(PAGES_PATH)
+    with open(marker, "w") as f:
+        f.write(str(n_events))
+
+
+def crawl_pipeline(spark) -> tuple[float, int]:
+    """read → rollup 1m → tier chain → force. Returns (seconds, minute-tier rows).
+
+    The minute tier is persisted before deriving coarser tiers — exactly the
+    continuous-aggregate shape (hour reads the materialized minute tier, not
+    the raw events)."""
+    t0 = time.time()
+    pages = spark.read.parquet(PAGES_PATH)
+    minute = rollup_pages(pages).persist()
+    try:
+        tiers = tier_chain(minute, KEYS)
+        minute_rows = minute.count()
+        for t in ("hour", "day", "week"):
+            tiers[t].select(F.sum("cnt")).collect()
+    finally:
+        minute.unpersist()
+    return time.time() - t0, minute_rows
+
+
+def gapfill_bench(spark) -> float:
+    t0 = time.time()
+    pages = spark.read.parquet(PAGES_PATH)
+    minute = rollup_pages(pages).persist()
+    try:
+        top = minute.join(
+            F.broadcast(
+                minute.groupBy("url").count().orderBy(F.desc("count")).limit(200).select("url")
+            ),
+            "url",
+        )
+        dense = densify_grid(top.select("url", "lang", "bucket_ts", "cnt"), KEYS, "bucket_ts")
+        tidy = dense.select(
+            "url", "lang",
+            (F.unix_timestamp("bucket_ts") / 60).cast("long").alias("bucket_idx"),
+            F.col("cnt").cast("double").alias("value"),
+        )
+        interpolate_linear(tidy, KEYS).select(F.sum("value")).collect()
+    finally:
+        minute.unpersist()
+    return time.time() - t0
+
+
+def impute_bench(spark, n_groups: int = 512) -> float:
+    """Gap-fill + HSVT imputation over the top-N url hourly series — the
+    kernel-heavy stage that dominates CPU in the full pipeline (and the
+    part that must scale linearly across executors)."""
+    from tslib_spark.kernels.svd_kernel import ModelConfig, fit_transform
+
+    t0 = time.time()
+    pages = spark.read.parquet(PAGES_PATH)
+    hourly = rollup_pages(pages, "hour").persist()
+    try:
+        N, M = 24, 21  # 3 weeks of hourly buckets per series
+        top = hourly.join(
+            F.broadcast(
+                hourly.groupBy("url").count().orderBy(F.desc("count"), "url")
+                .limit(n_groups).select("url")
+            ),
+            "url",
+        )
+        dense = densify_grid(top.select("url", "bucket_ts", "cnt"), ["url"], "bucket_ts", step="1 hour")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy("bucket_ts")
+        tidy = dense.select(
+            F.col("url").alias("group_id"),
+            F.lit("activity").alias("series_key"),
+            (F.row_number().over(w) - 1).cast("long").alias("bucket_idx"),
+            F.col("cnt").cast("double").alias("value"),
+        ).filter(F.col("bucket_idx") < N * M)
+        ok = tidy.groupBy("group_id").count().filter(F.col("count") >= N * M).select("group_id")
+        tidy = tidy.join(ok, "group_id")
+        cfg = ModelConfig(target_key="activity", N=N, M=M, k=4)
+        fit_transform(tidy, cfg).filter("kind='imputed'").select(F.sum("value")).collect()
+    finally:
+        hourly.unpersist()
+    return time.time() - t0
+
+
+def scale_job(spark) -> tuple[float, int]:
+    """The end-to-end job used for the N→4N scaling evidence: rollup →
+    tier chain → gap-fill+imputation kernels."""
+    t0 = time.time()
+    secs_tiers, minute_rows = crawl_pipeline(spark)
+    impute_bench(spark)
+    return time.time() - t0, minute_rows
+
+
+def contract_queries(spark, sf_dir: str) -> dict[str, float]:
+    names = [
+        "rollup_minute", "downsample_hour", "downsample_week", "gapfill_interp",
+        "sessionize", "topk_users", "tpch_q1ish", "join_filter_project",
+        "dedup_exact", "token_stats", "minhash_near_dup", "simhash_signatures",
+        "ann_cosine_topk", "svd_impute", "svd_forecast",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "3000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    timings: dict[str, float] = {}
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    ensure_pages(spark, n_events)
+
+    # JIT/codegen warm-up dominates first executions (5s warm vs 20s+ cold
+    # for the same plan) — warm the whole job mix once, then measure min-of-2.
+    scale_job(spark)
+    gapfill_bench(spark)
+    crawl_secs, minute_rows = min(
+        (crawl_pipeline(spark) for _ in range(2)), key=lambda t: t[0]
+    )
+    timings["crawl_rollup_tiers"] = round(crawl_secs, 3)
+    timings["crawl_gapfill"] = round(min(gapfill_bench(spark) for _ in range(2)), 3)
+    timings["crawl_impute_512"] = round(min(impute_bench(spark) for _ in range(2)), 3)
+    timings.update(contract_queries(spark, sf_dir))
+    points_per_sec = minute_rows / crawl_secs
+    hi_scale_secs, _ = min((scale_job(spark) for _ in range(2)), key=lambda t: t[0])
+    spark.stop()
+
+    result = {
+        "metric": "end-to-end seconds (crawl rollup->tiers + contract queries)",
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "minute_tier_rows": minute_rows,
+        "rolled_points_per_sec": round(points_per_sec, 1),
+        "bench_events": n_events,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        lo_cpus = max(cpus // 4, 1)
+        spark_lo = get_spark("bench-lo", master=f"local[{lo_cpus}]",
+                             extra_conf={"spark.sql.shuffle.partitions": str(lo_cpus)})
+        scale_job(spark_lo)  # JIT warm-up
+        lo_secs, _ = min((scale_job(spark_lo) for _ in range(2)), key=lambda t: t[0])
+        spark_lo.stop()
+        speedup = lo_secs / hi_scale_secs
+        result["scaling"] = {
+            "job": "rollup->tiers + gapfill/HSVT-impute kernels",
+            "cpus_lo": lo_cpus,
+            "cpus_hi": cpus,
+            "secs_lo": round(lo_secs, 3),
+            "secs_hi": round(hi_scale_secs, 3),
+            "points_per_sec_lo": round(minute_rows / lo_secs, 1),
+            "points_per_sec_hi": round(minute_rows / hi_scale_secs, 1),
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (cpus / lo_cpus), 3),
+        }
+
+    result["value"] = round(sum(timings.values()), 3)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,16 +78,25 @@ def interpolate_linear(
     For each NULL row: value = prev + (next - prev) * (i - i_prev)/(i_next - i_prev)
     where prev/next are the bracketing non-NULL observations; leading/trailing
     NULLs take the nearest observation (np.interp clamps the same way).
-    Two window passes (backward + forward), no shuffle beyond the partitionBy.
+
+    Both directions are *running* frames (unboundedPreceding..current), the
+    only frame shape Spark's WindowExec evaluates incrementally — the
+    forward fill uses a DESC ordering rather than a (current..
+    unboundedFollowing) frame, which WindowExec recomputes per row: O(n²)
+    per series and unusable at even 30k-bucket series.
     """
-    w_back = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(0, Window.unboundedFollowing)
+    w_back = Window.partitionBy(*keys).orderBy(F.col(order_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_fwd = Window.partitionBy(*keys).orderBy(F.col(order_col).desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
 
     idx_if_obs = F.when(F.col(value_col).isNotNull(), F.col(order_col))
     prev_val = F.last(value_col, ignorenulls=True).over(w_back)
     prev_idx = F.last(idx_if_obs, ignorenulls=True).over(w_back)
-    next_val = F.first(value_col, ignorenulls=True).over(w_fwd)
-    next_idx = F.first(idx_if_obs, ignorenulls=True).over(w_fwd)
+    next_val = F.last(value_col, ignorenulls=True).over(w_fwd)
+    next_idx = F.last(idx_if_obs, ignorenulls=True).over(w_fwd)
 
     interp = prev_val + (next_val - prev_val) * (
         (F.col(order_col) - prev_idx).cast("double")
