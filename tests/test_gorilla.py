@@ -1,0 +1,137 @@
+"""Gorilla codec: round-trip property tests + compression sanity (F6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tslib_spark.codec.gorilla import (
+    decode_timestamps,
+    decode_values,
+    encode_timestamps,
+    encode_values,
+)
+
+
+def rt_values(arr):
+    out = decode_values(encode_values(np.asarray(arr, dtype=np.float64)))
+    np.testing.assert_array_equal(
+        np.asarray(arr, dtype=np.float64).view(np.uint64), out.view(np.uint64)
+    )
+
+
+def rt_ts(arr):
+    out = decode_timestamps(encode_timestamps(np.asarray(arr, dtype=np.int64)))
+    np.testing.assert_array_equal(np.asarray(arr, dtype=np.int64), out)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        [],
+        [0.0],
+        [-0.0],
+        [0.0, -0.0, 0.0],
+        [np.nan, np.nan, 1.0, np.nan],
+        [1.0] * 100,
+        [1.0, -1.0] * 50,
+        [np.inf, -np.inf, np.nan, 0.0],
+        list(np.linspace(-1e300, 1e300, 37)),
+        [2.0**-1074, 2.0**1023, 5e-324],
+    ],
+)
+def test_value_roundtrip_edge_cases(case):
+    rt_values(case)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        [],
+        [0],
+        [1700000000],
+        [0, 60],
+        list(range(0, 60 * 512, 60)),  # regular 1-min grid
+        [0, 60, 120, 300, 301, 302, 10**15],  # irregular with a huge jump
+        [-(2**62), 0, 2**62],
+        list(range(1024)),  # 2^k length
+    ],
+)
+def test_ts_roundtrip_edge_cases(case):
+    rt_ts(case)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=0,
+        max_size=300,
+    )
+)
+def test_value_roundtrip_property(xs):
+    rt_values(xs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**61), max_value=2**61),
+        min_size=0,
+        max_size=300,
+    )
+)
+def test_ts_roundtrip_property(xs):
+    rt_ts(xs)
+
+
+def test_regular_grid_compresses_hard():
+    # 1-min grid: dod == 0 everywhere → ~1 bit/point after the two raw 64s
+    ts = np.arange(0, 60 * 4096, 60, dtype=np.int64)
+    blob = encode_timestamps(ts)
+    bits_per_point = (len(blob) - 4) * 8 / len(ts)
+    assert bits_per_point < 1.2
+    # constant values: ~1 bit/point after the raw first
+    vals = np.full(4096, 3.25)
+    vblob = encode_values(vals)
+    assert (len(vblob) - 4) * 8 / len(vals) < 1.2
+
+
+def test_noisy_values_still_beat_raw():
+    rng = np.random.default_rng(0)
+    # random walk (realistic metric series): should beat 64 bits/point
+    vals = np.cumsum(rng.normal(0, 0.1, 4096)) + 100.0
+    blob = encode_values(vals)
+    assert (len(blob) - 4) * 8 / len(vals) < 64
+
+
+def test_chunk_table_roundtrip(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(1)
+    rows = []
+    for key in ["a", "b"]:
+        n = 5000  # spans two chunks
+        idx = np.cumsum(rng.integers(1, 4, n)).astype(np.int64)
+        vals = np.round(rng.normal(size=n), 3)
+        rows.append(
+            pd.DataFrame({"series_key": key, "bucket_idx": idx, "value": vals})
+        )
+    pdf = pd.concat(rows, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    from tslib_spark.codec.chunks import chunk_stats, decode_chunks, encode_chunks
+
+    chunks = encode_chunks(df, ["series_key"]).cache()
+    assert chunks.count() == 4  # ceil(5000/4096) per series
+    stats = chunk_stats(chunks).collect()[0]
+    assert stats["points"] == 10000
+    assert stats["compression_ratio"] > 1.0
+
+    back = decode_chunks(chunks, ["series_key"]).toPandas()
+    got = back.sort_values(["series_key", "bucket_idx"]).reset_index(drop=True)
+    want = pdf.sort_values(["series_key", "bucket_idx"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got["bucket_idx"].to_numpy(), want["bucket_idx"].to_numpy())
+    np.testing.assert_array_equal(got["value"].to_numpy(), want["value"].to_numpy())

@@ -1,0 +1,115 @@
+"""TierStore: materialization, resume-after-kill, parity gate, retention (F6)."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tslib_spark.datagen.crawl import generate_pages
+from tslib_spark.operators.downsample import tier_state_checksum
+from tslib_spark.operators.retention import TierStore
+from tslib_spark.operators.rollup import rollup_pages
+
+KEYS = ["url", "lang"]
+
+
+@pytest.fixture()
+def store_root(tmp_path):
+    return str(tmp_path / "store")
+
+
+@pytest.fixture(scope="module")
+def minute_source(spark):
+    pages = generate_pages(spark, n_events=15_000, n_urls=100, n_minutes=60 * 24 * 16)
+    return rollup_pages(pages).cache()
+
+
+def test_materialize_chain_and_readback(spark, store_root, minute_source):
+    store = TierStore(spark, store_root, KEYS)
+    written = store.materialize_chain(minute_source)
+    assert len(written["minute"]) >= 15  # ~16 daily partitions
+    assert len(written["week"]) >= 2
+    # stored minute tier == source, bit for bit
+    assert tier_state_checksum(store.read_tier("minute"), KEYS) == tier_state_checksum(
+        minute_source, KEYS
+    )
+    # second run is a no-op (all partitions checkpointed)
+    again = store.materialize_chain(minute_source)
+    assert all(len(v) == 0 for v in again.values())
+    # lineage rows recorded with checksums
+    cp = store.checkpoint.read()
+    assert (cp["status"] == "done").all()
+    assert (cp["checksum"] != 0).any()
+    assert (cp["times_updated"] == 1).all()
+
+
+def test_resume_after_kill(spark, store_root, minute_source):
+    store = TierStore(spark, store_root, KEYS)
+    store.materialize_chain(minute_source)
+    full_chk = {
+        t: tier_state_checksum(store.read_tier(t), KEYS)
+        for t in ("minute", "hour", "day", "week")
+    }
+    cp_full = store.checkpoint.read()
+
+    # simulate a mid-tier kill: drop half the hour-tier checkpoint rows AND
+    # delete the corresponding partition dirs
+    cp = store.checkpoint.read()
+    hour_rows = cp[cp["tier"] == "hour"]
+    killed = hour_rows["partition_key"].sort_values()[: len(hour_rows) // 2].tolist()
+    store.checkpoint._write(
+        cp[~((cp["tier"] == "hour") & (cp["partition_key"].isin(killed)))]
+    )
+    for pk in killed:
+        shutil.rmtree(Path(store.tier_path("hour")) / f"part_key={pk}", ignore_errors=True)
+
+    # resume: only the killed partitions rematerialize
+    written = store.materialize_chain(minute_source)
+    assert sorted(written["hour"]) == sorted(killed)
+    assert written["minute"] == [] and written["day"] == [] and written["week"] == []
+
+    # final tiers identical to the uninterrupted run
+    for t, chk in full_chk.items():
+        assert tier_state_checksum(store.read_tier(t), KEYS) == chk
+    # lineage counters: rematerialized partitions show times_updated == 1
+    # again (rows were dropped); untouched rows unchanged
+    cp2 = store.checkpoint.read()
+    merged = cp2.merge(
+        cp_full, on=["tier", "partition_key"], suffixes=("_new", "_old")
+    )
+    untouched = merged[~merged["partition_key"].isin(killed) | (merged["tier"] != "hour")]
+    assert (untouched["checksum_new"] == untouched["checksum_old"]).all()
+
+
+def test_parity_gate_blocks_bad_retention(spark, store_root, minute_source):
+    store = TierStore(spark, store_root, KEYS)
+    store.materialize_chain(minute_source)
+    # corrupt the hour tier: delete one partition dir without touching lineage
+    hour_parts = sorted(store.checkpoint.done_partitions("hour"))
+    shutil.rmtree(Path(store.tier_path("hour")) / f"part_key={hour_parts[0]}")
+    with pytest.raises(RuntimeError, match="retention blocked"):
+        store.retention_pass("minute", expire_before="2024-01-08")
+
+
+def test_retention_expires_and_is_terminal(spark, store_root, minute_source):
+    store = TierStore(spark, store_root, KEYS)
+    store.materialize_chain(minute_source)
+    n_before = store.read_tier("minute").count()
+    expired = store.retention_pass("minute", expire_before="2024-01-08")
+    assert len(expired) == 7
+    remaining = store.read_tier("minute")
+    assert remaining.count() < n_before
+    assert remaining.select(F.min("bucket_ts")).collect()[0][0].strftime("%Y-%m-%d") >= "2024-01-08"
+    # hour tier still fully intact (it covers the expired raw range)
+    assert len(store.checkpoint.done_partitions("hour")) >= 15
+    # expired partitions never rematerialize, even with the full source present
+    again = store.materialize_chain(minute_source)
+    assert again["minute"] == []
+    cp = store.checkpoint.read()
+    assert set(cp[(cp["tier"] == "minute") & (cp["status"] == "expired")]["partition_key"]) == set(
+        expired
+    )

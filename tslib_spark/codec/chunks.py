@@ -1,0 +1,113 @@
+"""Arrow-backed chunk tables: Gorilla-compressed series storage on Spark.
+
+A compressed series table holds one row per (series, chunk):
+``(<key cols...>, chunk_id long, n_points int, ts_start long,
+ts_blob binary, val_blob binary)`` — the storage format of the 1-minute
+tier per the north star ("raw 1-minute buckets compressed with Gorilla XOR
+value encoding + delta-of-delta timestamps inside Arrow-backed binary
+columns").
+
+Encode/decode are grouped Arrow kernels (one Python crossing per series
+group); chunks are capped at CHUNK_SIZE points so a head-url series becomes
+many bounded rows rather than one unbounded blob — the same skew-safety
+argument as the kernel group-size assertion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tslib_spark.codec.gorilla import (
+    CHUNK_SIZE,
+    decode_timestamps,
+    decode_values,
+    encode_timestamps,
+    encode_values,
+)
+
+
+def encode_chunks(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "bucket_idx",
+    value_col: str = "value",
+    chunk_size: int = CHUNK_SIZE,
+) -> DataFrame:
+    """Tidy series rows → compressed chunk rows (one kernel pass)."""
+    key_fields = ", ".join(f"`{k}` string" for k in keys)
+    schema = (
+        f"{key_fields}, chunk_id long, n_points int, ts_start long, "
+        "ts_blob binary, val_blob binary"
+    )
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        rows = []
+        keyvals = [str(pdf[k].iloc[0]) for k in keys]
+        for ci, start in enumerate(range(0, len(ts), chunk_size)):
+            t = ts[start : start + chunk_size]
+            v = vals[start : start + chunk_size]
+            rows.append(
+                (*keyvals, ci, len(t), int(t[0]), encode_timestamps(t), encode_values(v))
+            )
+        return pd.DataFrame(
+            rows, columns=[*keys, "chunk_id", "n_points", "ts_start", "ts_blob", "val_blob"]
+        )
+
+    tidy = df.select(
+        *[F.col(k).cast("string") for k in keys],
+        F.col(ts_col).cast("long").alias(ts_col),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    return tidy.groupBy(*keys).applyInPandas(_encode, schema=schema)
+
+
+def decode_chunks(
+    chunks: DataFrame,
+    keys: list[str],
+    ts_col: str = "bucket_idx",
+    value_col: str = "value",
+) -> DataFrame:
+    """Compressed chunk rows → tidy series rows (inverse of encode_chunks)."""
+    key_fields = ", ".join(f"`{k}` string" for k in keys)
+    schema = f"{key_fields}, {ts_col} long, {value_col} double"
+
+    def _decode(iterator):
+        for pdf in iterator:
+            out_keys: dict[str, list] = {k: [] for k in keys}
+            ts_all, val_all = [], []
+            for _, row in pdf.iterrows():
+                ts = decode_timestamps(bytes(row["ts_blob"]))
+                vals = decode_values(bytes(row["val_blob"]))
+                ts_all.append(ts)
+                val_all.append(vals)
+                for k in keys:
+                    out_keys[k].extend([row[k]] * len(ts))
+            if not ts_all:
+                yield pd.DataFrame(columns=[*keys, ts_col, value_col])
+                continue
+            out = pd.DataFrame(out_keys)
+            out[ts_col] = np.concatenate(ts_all)
+            out[value_col] = np.concatenate(val_all)
+            yield out
+
+    return chunks.mapInPandas(_decode, schema=schema)
+
+
+def chunk_stats(chunks: DataFrame) -> DataFrame:
+    """Compression accounting: bytes per chunk vs raw 16 B/point."""
+    return chunks.select(
+        F.sum("n_points").alias("points"),
+        F.sum(F.length("ts_blob") + F.length("val_blob")).alias("compressed_bytes"),
+        (F.sum("n_points") * 16).alias("raw_bytes"),
+    ).select(
+        "points",
+        "compressed_bytes",
+        "raw_bytes",
+        (F.col("raw_bytes") / F.col("compressed_bytes")).alias("compression_ratio"),
+    )

@@ -1,0 +1,169 @@
+"""TierStore: materialized continuous-aggregate tiers with retention.
+
+Layout (parquet + manifest fallback for Iceberg, SURVEY §1.3 — no Iceberg
+runtime jar ships in this sandbox; the API is storage-agnostic so the same
+class can write ``df.writeTo(table)`` when a catalog is configured):
+
+    <root>/tiers/<tier>/part_key=<YYYY-MM-DD or week start>/*.parquet
+    <root>/checkpoint.parquet            (lineage, see plans/lineage.py)
+
+Materialization is **idempotent per partition**: missing partitions are
+computed in ONE Spark job and written with dynamic partition overwrite, so
+a partition half-written by a killed run is cleanly rewritten on resume;
+the checkpoint rows (with content checksums) are recorded only after the
+write commits. ``retention_pass`` expires raw partitions strictly after
+verifying the covering coarser-tier partitions exist and checksum-match —
+"delete the raw minutes only once the hourly rollup provably holds them".
+
+At cluster scale the same code shape holds: partition writes are
+distributed, only the checkpoint bookkeeping is driver-side metadata.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tslib_spark.operators.downsample import downsample
+from tslib_spark.plans.lineage import CheckpointStore
+
+# partition granularity per tier: fine tiers partition daily, coarse weekly
+PART_TRUNC = {"minute": "day", "hour": "day", "day": "week", "week": "week"}
+
+
+class TierStore:
+    def __init__(self, spark: SparkSession, root: str, keys: list[str]):
+        self.spark = spark
+        self.root = Path(root)
+        self.keys = keys
+        self.checkpoint = CheckpointStore(str(self.root / "checkpoint.parquet"))
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # keep part_key a string on read-back (inference would parse it as a
+        # DATE and break checkpoint-key equality)
+        self.spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
+    # ---------------- paths ----------------
+    def tier_path(self, tier: str) -> str:
+        return str(self.root / "tiers" / tier)
+
+    def read_tier(self, tier: str) -> DataFrame:
+        return self.spark.read.parquet(self.tier_path(tier)).drop("part_key")
+
+    # ---------------- checksums ----------------
+    def _with_part_key(self, df: DataFrame, tier: str) -> DataFrame:
+        return df.withColumn(
+            "part_key", F.date_format(F.date_trunc(PART_TRUNC[tier], "bucket_ts"), "yyyy-MM-dd")
+        )
+
+    def _partition_checksums(self, df_with_pk: DataFrame) -> dict[str, tuple[int, int]]:
+        """{part_key: (rows, checksum)} — order-insensitive decimal hash sum."""
+        row_hash = F.xxhash64(
+            *[F.col(k).cast("string") for k in self.keys],
+            F.col("bucket_ts").cast("string"),
+            F.col("cnt").cast("string"),
+            F.col("val_sum").cast("string"),
+            F.col("val_min").cast("string"),
+            F.col("val_max").cast("string"),
+        )
+        rows = (
+            df_with_pk.groupBy("part_key")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(row_hash.cast("decimal(38,0)")).alias("chk"),
+            )
+            .collect()
+        )
+        # wrap the (unbounded) decimal hash-sum into signed 64-bit so the
+        # checkpoint parquet column stays an int64
+        wrap = lambda v: ((int(v) + 2**63) % 2**64) - 2**63  # noqa: E731
+        return {r["part_key"]: (int(r["n"]), wrap(r["chk"] or 0)) for r in rows}
+
+    # ---------------- materialization ----------------
+    def materialize(self, tier: str, source: DataFrame) -> list[str]:
+        """Write all not-yet-done partitions of ``tier`` from ``source``
+        (a tier-state DataFrame: keys + bucket_ts + cnt/val_sum/min/max).
+
+        Returns the partition keys written this run. Idempotent + resumable.
+        """
+        with_pk = self._with_part_key(source, tier)
+        cp = self.checkpoint.read()
+        # skip both completed AND expired partitions — retention is terminal,
+        # an expired range must not silently rematerialize from a late source
+        done = set(cp[cp["tier"] == tier]["partition_key"].astype(str))
+        all_pks = {r["part_key"] for r in with_pk.select("part_key").distinct().collect()}
+        missing = sorted(all_pks - done)
+        if not missing:
+            return []
+        todo = with_pk.filter(F.col("part_key").isin(missing))
+        (
+            todo.repartition(F.col("part_key"), *[F.col(k) for k in self.keys])
+            .write.mode("overwrite")
+            .partitionBy("part_key")
+            .parquet(self.tier_path(tier))
+        )
+        # checksum what actually landed, then record lineage
+        landed = self.spark.read.parquet(self.tier_path(tier)).filter(
+            F.col("part_key").isin(missing)
+        )
+        sums = self._partition_checksums(landed)
+        self.checkpoint.mark_many(
+            [
+                {
+                    "tier": tier,
+                    "partition_key": pk,
+                    "status": "done",
+                    "rows_in": sums.get(pk, (0, 0))[0],
+                    "rows_out": sums.get(pk, (0, 0))[0],
+                    "checksum": sums.get(pk, (0, 0))[1],
+                }
+                for pk in missing
+            ]
+        )
+        return missing
+
+    def materialize_chain(self, minute_source: DataFrame) -> dict[str, list[str]]:
+        """minute → hour → day → week, each tier read back from storage —
+        the continuous-aggregate scan shape (coarser tiers never touch raw)."""
+        written = {"minute": self.materialize("minute", minute_source)}
+        prev = "minute"
+        for tier in ("hour", "day", "week"):
+            src = downsample(self.read_tier(prev), tier, self.keys)
+            written[tier] = self.materialize(tier, src)
+            prev = tier
+        return written
+
+    # ---------------- verification + retention ----------------
+    def verify_tier_parity(self, fine: str, coarse: str) -> bool:
+        """Recompute ``coarse`` from stored ``fine`` and compare checksums
+        partition-by-partition against the stored coarse tier."""
+        recomputed = self._with_part_key(
+            downsample(self.read_tier(fine), coarse, self.keys), coarse
+        )
+        want = self._partition_checksums(recomputed)
+        got = self._partition_checksums(
+            self._with_part_key(self.read_tier(coarse), coarse)
+        )
+        return want == got
+
+    def retention_pass(self, tier: str, expire_before: str) -> list[str]:
+        """Expire ``tier`` partitions with part_key < expire_before, but only
+        if the covering coarser tier verifies; records 'expired' lineage."""
+        order = ["minute", "hour", "day", "week"]
+        coarse = order[order.index(tier) + 1]
+        if not self.verify_tier_parity(tier, coarse):
+            raise RuntimeError(
+                f"retention blocked: {coarse} tier does not match {tier} rollup"
+            )
+        base = Path(self.tier_path(tier))
+        expired = []
+        for pk in sorted(self.checkpoint.done_partitions(tier)):
+            if pk < expire_before:
+                part_dir = base / f"part_key={pk}"
+                if part_dir.exists():
+                    shutil.rmtree(part_dir)
+                self.checkpoint.mark(tier, pk, "expired", 0, 0, 0)
+                expired.append(pk)
+        return expired

@@ -1,0 +1,114 @@
+"""Per-partition checkpoint + lineage table.
+
+The resumability contract (BASELINE.json north_rule): every tier
+materialization records one row per (tier, partition_key) with status,
+row counts, an order-insensitive content checksum, and a monotonically
+increasing ``times_updated`` counter (the reference's ``TimesUpdated``
+state, tsSVDModel.py:33-35, promoted to per-partition lineage). A killed
+run leaves some partitions unrecorded; the re-run recomputes exactly
+those (writes are idempotent per-partition), so any retention pass is
+resumable mid-tier.
+
+The table itself is tiny metadata (like Iceberg's metadata layer), kept as
+a single parquet file rewritten atomically (tmp + rename) from the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+
+COLUMNS = [
+    "tier",
+    "partition_key",
+    "status",  # done | expired
+    "rows_in",
+    "rows_out",
+    "checksum",
+    "times_updated",
+    "updated_at",
+]
+
+
+class CheckpointStore:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def read(self) -> pd.DataFrame:
+        if os.path.exists(self.path):
+            return pd.read_parquet(self.path)
+        return pd.DataFrame(columns=COLUMNS)
+
+    def _write(self, df: pd.DataFrame) -> None:
+        tmp = f"{self.path}.tmp-{os.getpid()}"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, self.path)
+
+    def done_partitions(self, tier: str) -> set[str]:
+        df = self.read()
+        sel = df[(df["tier"] == tier) & (df["status"] == "done")]
+        return set(sel["partition_key"].astype(str))
+
+    def mark(
+        self,
+        tier: str,
+        partition_key: str,
+        status: str,
+        rows_in: int,
+        rows_out: int,
+        checksum: int,
+    ) -> None:
+        df = self.read()
+        mask = (df["tier"] == tier) & (df["partition_key"] == str(partition_key))
+        prev_updates = int(df.loc[mask, "times_updated"].max()) if mask.any() else 0
+        df = df[~mask]
+        new_row = pd.DataFrame(
+            [
+                {
+                    "tier": tier,
+                    "partition_key": str(partition_key),
+                    "status": status,
+                    "rows_in": int(rows_in),
+                    "rows_out": int(rows_out),
+                    "checksum": int(checksum),
+                    "times_updated": prev_updates + 1,
+                    "updated_at": time.time(),
+                }
+            ]
+        )
+        self._write(new_row if df.empty else pd.concat([df, new_row], ignore_index=True))
+
+    def mark_many(self, rows: list[dict]) -> None:
+        """Batch variant of mark() — one read/rewrite for many partitions."""
+        df = self.read()
+        out_rows = []
+        for r in rows:
+            mask = (df["tier"] == r["tier"]) & (df["partition_key"] == str(r["partition_key"]))
+            prev = int(df.loc[mask, "times_updated"].max()) if mask.any() else 0
+            df = df[~mask]
+            out_rows.append(
+                {
+                    "tier": r["tier"],
+                    "partition_key": str(r["partition_key"]),
+                    "status": r.get("status", "done"),
+                    "rows_in": int(r.get("rows_in", 0)),
+                    "rows_out": int(r.get("rows_out", 0)),
+                    "checksum": int(r.get("checksum", 0)),
+                    "times_updated": prev + 1,
+                    "updated_at": time.time(),
+                }
+            )
+        new = pd.DataFrame(out_rows)
+        self._write(new if df.empty else pd.concat([df, new], ignore_index=True))
+
+    def checksum_of(self, tier: str, partition_key: str) -> int | None:
+        df = self.read()
+        sel = df[
+            (df["tier"] == tier)
+            & (df["partition_key"] == str(partition_key))
+            & (df["status"] == "done")
+        ]
+        return int(sel["checksum"].iloc[0]) if len(sel) else None
