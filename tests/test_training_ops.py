@@ -1,0 +1,164 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from tslib_spark.functions import text as T
+from tslib_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_minhash,
+    simhash,
+    simhash_near_dups,
+)
+from tslib_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    make_media_table,
+    media_repartition,
+)
+from tslib_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about spark query engines",
+        "numbers 123 456 and punctuation !!! ??? everywhere here",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        for _ in range(3):  # exact triplicates
+            rows.append((i, b))
+            i += 1
+        # near-dup: one word changed
+        rows.append((i, b.replace(b.split()[0], "zzz", 1)))
+        i += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+
+
+def test_exact_dedup_keeps_one_per_text(spark, docs):
+    out = exact_dedup(docs, "text", "doc_id").toPandas()
+    assert len(out) == 6  # 3 originals + 3 variants
+    assert out["dup_count"].sum() == 12
+    assert set(out[out["dup_count"] == 3]["keep_id"]) == {0, 4, 8}
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = near_dup_minhash(docs, "doc_id", "text", n=2, num_hashes=64, bands=32, threshold=0.5).toPandas()
+    # triplicates give jaccard 1.0 pairs; near-dups give high-jaccard pairs
+    exact_pairs = pairs[pairs["jaccard"] == 1.0]
+    assert len(exact_pairs) >= 9  # 3 groups × C(3,2)
+    near = pairs[(pairs["jaccard"] < 1.0) & (pairs["jaccard"] >= 0.5)]
+    assert len(near) >= 3
+
+
+def test_simhash_hamming_close_for_near_dups(spark, docs):
+    sh = simhash(docs, "text").cache()
+    dups = simhash_near_dups(sh, "doc_id", max_hamming=16, blocks=4).toPandas()
+    # identical docs → hamming 0
+    zero = dups[dups["hamming"] == 0]
+    assert len(zero) >= 9
+    # different base docs should NOT appear at small hamming
+    cross = dups[(dups["id_a"] < 4) & (dups["id_b"] >= 8)]
+    assert (cross["hamming"] > 10).all() if len(cross) else True
+
+
+def test_brute_force_and_lsh_topk_agree_on_head(spark):
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(300, 16))
+    # plant two near-copies of vector 0
+    vecs[1] = vecs[0] + rng.normal(0, 0.01, 16)
+    vecs[2] = vecs[0] + rng.normal(0, 0.01, 16)
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    q = vecs[0].tolist()
+    bf = brute_force_topk(df, "embedding", "vec_id", q, k=3).toPandas()
+    assert bf["vec_id"].iloc[0] == 0 and set(bf["vec_id"]) == {0, 1, 2}
+    ann = ann_lsh_topk(df, "embedding", "vec_id", q, k=3, n_planes=8).toPandas()
+    assert set(ann["vec_id"]) >= {0, 1, 2}  # near-copies share the bucket
+
+    pairs = cosine_near_dup_pairs(df, "embedding", "vec_id", threshold=0.99, n_planes=6).toPandas()
+    found = {tuple(sorted(p)) for p in pairs[["id_a", "id_b"]].to_numpy()}
+    assert {(0, 1), (0, 2), (1, 2)} <= found
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat"), (2, "der hund und die katze ist da"), (3, "12345 !!!")],
+        "id long, t string",
+    )
+    out = df.select(
+        "id",
+        T.token_count(F.col("t")).alias("n"),
+        T.lang_guess(F.col("t")).alias("lang"),
+        T.quality_score(F.col("t")).alias("q"),
+        T.punct_ratio(F.col("t")).alias("punct"),
+        T.bpe_ish_token_count(F.col("t")).alias("bpe"),
+    ).toPandas().set_index("id")
+    assert out.loc[1, "n"] == 6
+    assert out.loc[1, "lang"] == "en"
+    assert out.loc[2, "lang"] == "de"
+    assert out.loc[3, "lang"] == "und"
+    assert out.loc[1, "q"] > out.loc[3, "q"]
+    assert out.loc[3, "punct"] > 0.2
+    assert out.loc[3, "bpe"] >= 4
+
+
+def test_rolling_fingerprints_detect_shared_window(spark):
+    a = "one two three four five six seven eight nine ten"
+    b = "ZZZ two three four five six seven eight nine ten"  # shares 8-gram windows
+    df = spark.createDataFrame([(1, a), (2, b)], "id long, t string")
+    fps = df.select("id", F.explode(T.rolling_fingerprints(F.col("t"), 8)).alias("fp"))
+    shared = (
+        fps.alias("x")
+        .join(fps.alias("y"), (F.col("x.fp") == F.col("y.fp")) & (F.col("x.id") < F.col("y.id")))
+        .count()
+    )
+    assert shared >= 1
+
+
+def test_multimodal_plumbing(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "blob": [bytes([i]) * (100 + 50 * i) for i in range(20)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    media = make_media_table(df, "doc_id", "blob", "image")
+    media = media_repartition(media, target_bytes=1000)
+    assert media.rdd.getNumPartitions() >= 2
+
+    feats = decode_media(media, fake=True).toPandas()
+    assert len(feats) == 20
+    assert all(len(f) == 64 for f in feats["features"])
+    # deterministic: same payload → same features
+    again = decode_media(media, fake=True).toPandas().set_index("media_id")
+    first = feats.set_index("media_id")
+    for i in range(20):
+        np.testing.assert_array_equal(first.loc[i, "features"], again.loc[i, "features"])
+
+    # real decode path raises cleanly at execution
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_media(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), "v", None, None, 3500), (2, "video", bytearray(b"y"), "v", None, None, None)],
+        "media_id long, kind string, payload binary, mime string, width int, height int, duration_ms int",
+    )
+    frames = frame_sample(df, every_ms=1000).toPandas()
+    assert frames[frames["media_id"] == 1]["frame_ms"].tolist() == [0, 1000, 2000, 3000]
+    assert (frames["media_id"] != 2).all()
