@@ -324,6 +324,56 @@ def _q_rsc_weights(spark, sf_dir):
     return control_weights(fit, donors)
 
 
+def _q_asof_join(spark, sf_dir):
+    """Each event joined to the most recent PRIOR event value of the same
+    user (as-of semantics, union-tag + running window implementation)."""
+    from tslib_spark.operators.asof import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    left = events.select("user_id", F.col("event_id").alias("l_event"), F.col("ts").alias("l_ts"))
+    right = events.select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("value").alias("prev_value"),
+        F.col("event_id").alias("prev_event"),
+    )
+    # strict precedence: shift right side by 1 microsecond so ties exclude self
+    right = right.withColumn("r_ts", F.timestamp_micros(F.unix_micros(F.col("r_ts").cast("timestamp")) + 1))
+    out = asof_join(left, right, ["user_id"], "l_ts", "r_ts", ["prev_value", "prev_event"])
+    return out.select("user_id", "l_event", "prev_event", "prev_value")
+
+
+def _q_gorilla_roundtrip(spark, sf_dir):
+    """Gorilla encode+decode the per-type event series; returns decoded rows
+    (rows-only check: count must equal the input series length)."""
+    from tslib_spark.codec.chunks import decode_chunks, encode_chunks
+
+    events = _read(spark, sf_dir, "events")
+    tidy = events.select(
+        F.col("event_type").alias("series_key"),
+        F.col("event_id").alias("bucket_idx"),
+        F.col("value"),
+    )
+    chunks = encode_chunks(tidy, ["series_key"])
+    return decode_chunks(chunks, ["series_key"])
+
+
+def _q_als_impute(spark, sf_dir):
+    tidy, cfg = _hourly_tidy(spark, sf_dir, N=24, M=10)
+    from dataclasses import replace
+
+    als_cfg = replace(cfg, method="als", k=2, als_seed=11)
+    fit = fit_transform(tidy, als_cfg)
+    return fit.filter("kind = 'imputed'").select("group_id", "idx", "value")
+
+
+def _q_harmonics_gen(spark, sf_dir):
+    """Distributed harmonics+trend generator (rows-only: sin/cos differ in
+    the last ulp across engines' libm, so no value-hash oracle)."""
+    from tslib_spark.datagen.spark_series import harmonics_df, hide_values_df
+
+    df = harmonics_df(spark, 20_000, [-2.0, 3.0], [26.0, 30.0], [-2.5], [16.0])
+    return hide_values_df(df, p_observe=0.7)
+
+
 def _q_minhash_near_dup(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return near_dup_minhash(docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5)
@@ -362,7 +412,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_by_source": _q_lang_by_source,
         "doc_fingerprint": _q_doc_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        # kernel-backed, rows-only:
+        "asof_join": _q_asof_join,
+        # kernel-backed / engine-divergent, rows-only:
+        "gorilla_roundtrip": _q_gorilla_roundtrip,
+        "als_impute": _q_als_impute,
+        "harmonics_gen": _q_harmonics_gen,
         "svd_impute": _q_svd_impute,
         "svd_forecast": _q_svd_forecast,
         "rsc_weights": _q_rsc_weights,
@@ -544,5 +598,11 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, q.qv) DESC, vec_id
             LIMIT 10
+        """,
+        "asof_join": """
+            SELECT l.user_id, l.event_id AS l_event,
+                   r.event_id AS prev_event, r.value AS prev_value
+            FROM events l ASOF LEFT JOIN events r
+              ON l.user_id = r.user_id AND l.ts > r.ts
         """,
     }
