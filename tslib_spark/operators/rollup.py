@@ -71,7 +71,9 @@ def rollup_events(events: DataFrame, bucket: str = "minute") -> DataFrame:
     return rollup(events, ["event_type"], "ts", "value", bucket)
 
 
-def salted_repartition(df: DataFrame, keys: list[str], salt_buckets: int = 64) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, keys: list[str], salt_buckets: int = 64, n_partitions: int | None = None
+) -> DataFrame:
     """Spread skewed keys across ``salt_buckets`` partitions-per-key.
 
     For kernel stages (applyInPandas) and writes where a Zipf head key would
@@ -81,4 +83,7 @@ def salted_repartition(df: DataFrame, keys: list[str], salt_buckets: int = 64) -
     that free).
     """
     salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt_buckets))
-    return df.repartition(*[F.col(k) for k in keys], salt.alias("_salt"))
+    cols = [*[F.col(k) for k in keys], salt.alias("_salt")]
+    if n_partitions:
+        return df.repartition(n_partitions, *cols)
+    return df.repartition(*cols)
