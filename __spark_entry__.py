@@ -324,6 +324,43 @@ def _q_rsc_weights(spark, sf_dir):
     return control_weights(fit, donors)
 
 
+def _q_json_props(spark, sf_dir):
+    """JSON extraction from the events props column (free Spark string/JSON
+    functions per SURVEY §2.8)."""
+    events = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(k).alias("k_cnt"), F.max(k).alias("k_max")
+    )
+
+
+def _q_token_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs (exact, SQL-expressible variant of
+    the shingle pipeline) over a small doc prefix."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        toks.alias("a")
+        .join(toks.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return out
+
+
 def _q_asof_join(spark, sf_dir):
     """Each event joined to the most recent PRIOR event value of the same
     user (as-of semantics, union-tag + running window implementation)."""
@@ -413,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "asof_join": _q_asof_join,
+        "json_props": _q_json_props,
+        "token_jaccard": _q_token_jaccard,
         # kernel-backed / engine-divergent, rows-only:
         "gorilla_roundtrip": _q_gorilla_roundtrip,
         "als_impute": _q_als_impute,
@@ -604,5 +643,28 @@ def oracle_sql() -> dict[str, str]:
                    r.event_id AS prev_event, r.value AS prev_value
             FROM events l ASOF LEFT JOIN events r
               ON l.user_id = r.user_id AND l.ts > r.ts
+        """,
+        "json_props": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+                   COUNT(json_extract_string(props, '$.k')) AS k_cnt,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+            FROM events GROUP BY 1
+        """,
+        "token_jaccard": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+            toks AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON pairs.id_a = sa.doc_id
+            JOIN sizes sb ON pairs.id_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         """,
     }

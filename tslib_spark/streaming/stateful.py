@@ -1,0 +1,56 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+A running per-series tier accumulator: each micro-batch folds new events
+into persistent per-key state ``(cnt, val_sum, val_min, val_max)`` and
+emits the updated state row. This is the streaming analogue of the batch
+tier rollup — same associative state, maintained incrementally across
+micro-batches instead of recomputed (the applyInPandasWithState shape the
+brief calls out for custom stateful operators).
+
+val_sum is carried as a scaled integer (1e-9 fixed point, same scale as
+the batch decimal(38,9) state) so cross-batch accumulation stays exact —
+GroupState rows can't hold decimals, and accumulating float64 across
+batches would break bit-parity with the batch tiers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "series_key string, cnt long, val_sum_scaled long, val_min double, val_max double"
+STATE_SCHEMA = "cnt long, val_sum_scaled long, val_min double, val_max double"
+SCALE = 1_000_000_000  # 1e-9 fixed point, matching decimal(38,9)
+
+
+def _accumulate(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    if state.exists:
+        cnt, vsum, vmin, vmax = state.get
+    else:
+        cnt, vsum, vmin, vmax = 0, 0, float("inf"), float("-inf")
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        cnt += len(vals)
+        vsum += int(round(vals.sum() * SCALE)) if len(vals) else 0
+        if len(vals):
+            vmin = min(vmin, float(vals.min()))
+            vmax = max(vmax, float(vals.max()))
+    state.update((cnt, vsum, vmin, vmax))
+    yield pd.DataFrame(
+        [{"series_key": key[0], "cnt": cnt, "val_sum_scaled": vsum, "val_min": vmin, "val_max": vmax}]
+    )
+
+
+def stateful_running_rollup(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """events stream → continuously updated per-key tier state rows."""
+    tidy = stream.selectExpr(f"{key_col} as series_key", f"CAST({value_col} AS double) as value")
+    return tidy.groupBy("series_key").applyInPandasWithState(
+        _accumulate,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
