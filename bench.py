@@ -220,7 +220,10 @@ def main() -> None:
             s = get_spark(f"bench-scale-{c}", master=f"local[{c}]",
                           extra_conf={"spark.sql.shuffle.partitions": str(max(c, 4))})
             scale_job(s)  # JIT warm-up
-            secs[c] = min(scale_job(s)[0] for _ in range(2))
+            # median of 3: this box shows ±20-30% run-to-run noise; a single
+            # lucky/unlucky run can push apparent efficiency past 1.0
+            runs = sorted(scale_job(s)[0] for _ in range(3))
+            secs[c] = runs[1]
             s.stop()
         speedup = secs[lo_cpus] / secs[hi_cpus]
         result["scaling"] = {

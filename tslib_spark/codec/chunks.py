@@ -35,26 +35,38 @@ def encode_chunks(
     ts_col: str = "bucket_idx",
     value_col: str = "value",
     chunk_size: int = CHUNK_SIZE,
+    kernel_buckets: int = 256,
 ) -> DataFrame:
-    """Tidy series rows → compressed chunk rows (one kernel pass)."""
+    """Tidy series rows → compressed chunk rows (one kernel pass).
+
+    Kernel granularity matters at scale: one applyInPandas group per
+    *series* pays the JVM↔Python Arrow crossing (~ms) per series — with
+    10^5+ short series that fixed cost dominates the actual bit-packing.
+    Instead the shuffle groups by ``pmod(xxhash64(keys), kernel_buckets)``
+    and one kernel call encodes every series in its bucket (pandas groupby
+    inside). The bucket count doubles as skew salting: a head url shares
+    its bucket with ~n_series/kernel_buckets others, never a whole task.
+    """
     key_fields = ", ".join(f"`{k}` string" for k in keys)
     schema = (
         f"{key_fields}, chunk_id long, n_points int, ts_start long, "
         "ts_blob binary, val_blob binary"
     )
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        ts = pdf[ts_col].to_numpy(dtype=np.int64)
-        vals = pdf[value_col].to_numpy(dtype=np.float64)
+    def _encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*keys, ts_col])
         rows = []
-        keyvals = [str(pdf[k].iloc[0]) for k in keys]
-        for ci, start in enumerate(range(0, len(ts), chunk_size)):
-            t = ts[start : start + chunk_size]
-            v = vals[start : start + chunk_size]
-            rows.append(
-                (*keyvals, ci, len(t), int(t[0]), encode_timestamps(t), encode_values(v))
-            )
+        for keyvals, sub in pdf.groupby(keys, sort=False):
+            if not isinstance(keyvals, tuple):
+                keyvals = (keyvals,)
+            ts = sub[ts_col].to_numpy(dtype=np.int64)
+            vals = sub[value_col].to_numpy(dtype=np.float64)
+            for ci, start in enumerate(range(0, len(ts), chunk_size)):
+                t = ts[start : start + chunk_size]
+                v = vals[start : start + chunk_size]
+                rows.append(
+                    (*keyvals, ci, len(t), int(t[0]), encode_timestamps(t), encode_values(v))
+                )
         return pd.DataFrame(
             rows, columns=[*keys, "chunk_id", "n_points", "ts_start", "ts_blob", "val_blob"]
         )
@@ -63,8 +75,9 @@ def encode_chunks(
         *[F.col(k).cast("string") for k in keys],
         F.col(ts_col).cast("long").alias(ts_col),
         F.col(value_col).cast("double").alias(value_col),
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(kernel_buckets)).alias("_bucket"),
     )
-    return tidy.groupBy(*keys).applyInPandas(_encode, schema=schema)
+    return tidy.groupBy("_bucket").applyInPandas(_encode_bucket, schema=schema)
 
 
 def decode_chunks(
