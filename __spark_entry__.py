@@ -18,7 +18,12 @@ equivalent → no oracle entry → driver records the weaker rows-only check.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this file from any cwd; the package lives beside it
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

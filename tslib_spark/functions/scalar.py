@@ -23,6 +23,12 @@ def unnormalize_expr(value: Column, vmax: Column, vmin: Column) -> Column:
     return value * half + mid
 
 
+def clip_expr(value: Column, vmin: Column, vmax: Column) -> Column:
+    """Clamp to [vmin, vmax] — the reference's reconstruction clipping
+    (tsALSModel.py:82-83) as a column expression."""
+    return F.least(F.greatest(value, vmin), vmax)
+
+
 def rmse_agg(a: Column, b: Column) -> Column:
     """sqrt(mean((a-b)^2)) as an aggregate expression (tsUtils.py:83-84).
 
