@@ -34,11 +34,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
-    """Distinct word n-gram set per doc — pure array expressions, no explode."""
+def shingles(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles", hashed: bool = True
+) -> DataFrame:
+    """Distinct word n-gram set per doc — pure array expressions, no explode.
+
+    ``hashed=True`` (default) stores 64-bit shingle hashes instead of the
+    gram strings: downstream signature/verify joins then move 8-byte longs
+    instead of multi-word strings — a large shuffle-volume cut at corpus
+    scale, with negligible collision probability for exact-Jaccard use.
+    """
     toks = tokens(F.col(text_col))
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    if hashed:
+        grams = F.transform(grams, lambda g: F.xxhash64(g))
     return df.withColumn(out_col, F.array_distinct(grams))
 
 
@@ -51,13 +61,17 @@ def minhash_signature(
     Entirely JVM-side column expressions — the signature costs no shuffle
     and no Python.
     """
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col(shingle_col), lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
-            )
-            for i in range(num_hashes)
-        ]
+    # single pass over the shingle array: fold into a num_hashes-wide array
+    # of running minima (vs. num_hashes separate transforms = num_hashes
+    # passes — 10x+ slower on long docs)
+    seeds = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    sig = F.aggregate(
+        F.col(shingle_col),
+        init,
+        lambda acc, s: F.zip_with(
+            acc, F.transform(seeds, lambda i: F.xxhash64(s, i)), lambda a, b: F.least(a, b)
+        ),
     )
     return df.withColumn(out_col, sig)
 
@@ -139,10 +153,18 @@ def near_dup_minhash(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify."""
     rows_per_band = num_hashes // bands
-    sh = shingles(df.select(id_col, text_col), text_col, n)
-    mh = minhash_signature(sh, num_hashes=num_hashes, seed=seed)
-    cands = lsh_candidate_pairs(mh, id_col, bands=bands, rows_per_band=rows_per_band)
-    return jaccard_verify(cands, sh, id_col, threshold=threshold)
+    # the shingle set feeds three plan branches (signature + both verify
+    # sides); persist it once instead of recomputing the tokenize/shingle
+    # tree per branch
+    sh = shingles(df.select(id_col, text_col), text_col, n).persist()
+    try:
+        mh = minhash_signature(sh, num_hashes=num_hashes, seed=seed)
+        cands = lsh_candidate_pairs(mh, id_col, bands=bands, rows_per_band=rows_per_band)
+        out = jaccard_verify(cands, sh, id_col, threshold=threshold)
+        out = out.localCheckpoint(eager=True)  # materialize before unpersist
+    finally:
+        sh.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
@@ -152,22 +174,32 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     no shuffle, no Python. Weight = token frequency (aggregate over all
     occurrences, not the distinct set).
     """
-    toks = tokens(F.col(text_col))
-
-    def _vote(b: int):
-        # closure factory: F.aggregate's merge lambda must take exactly
-        # (acc, x) — a bound default arg changes the arity Spark sees
-        return F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + (F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        )
-
-    bit_votes = [_vote(b) for b in range(64)]
-    sim = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        sim = sim + F.when(vote > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0))
+    # One pass over the token array folding a 64-wide vote vector, then one
+    # pass packing sign bits (vs. 64 separate aggregates = 64 passes over
+    # the tokens). SQL-expression form: the Python F.shiftright wrapper
+    # only takes a literal shift amount, while the SQL function accepts a
+    # column — inside higher-order lambdas we need the latter.
+    sim = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              split(trim({text_col}), '\\\\s+'),
+              array_repeat(0, 64),
+              (acc, t) -> zip_with(
+                acc,
+                transform(sequence(0, 63),
+                          b -> cast(shiftright(xxhash64(t), b) & 1L as int) * 2 - 1),
+                (a, v) -> a + v)),
+            sequence(0, 63),
+            (v, b) -> struct(v as v, b as b)),
+          cast(0 as bigint),
+          (acc, x) -> acc + CASE
+              WHEN x.v > 0 AND x.b = 63 THEN cast({-(2**63)} as bigint)
+              WHEN x.v > 0 THEN shiftleft(cast(1 as bigint), x.b)
+              ELSE cast(0 as bigint) END)
+        """
+    )
     return df.withColumn(out_col, sim)
 
 
