@@ -136,22 +136,27 @@ def scale_job(spark) -> tuple[float, int]:
     absorb."""
     from tslib_spark.codec.chunks import encode_chunks
 
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"))
     t0 = time.time()
-    pages = spark.read.parquet(PAGES_PATH)
-    minute = rollup_pages(pages).persist()
-    try:
-        tiers = tier_chain(minute, KEYS)
-        rows = minute.count()
-        for t in ("hour", "day", "week"):
-            tiers[t].select(F.sum("cnt")).collect()
-        tidy = minute.select(
-            "url", "lang",
-            (F.unix_timestamp("bucket_ts") / 60).cast("long").alias("bucket_idx"),
-            F.col("cnt").cast("double").alias("value"),
-        )
-        encode_chunks(tidy, KEYS).select(F.sum(F.length("val_blob"))).collect()
-    finally:
-        minute.unpersist()
+    rows = 0
+    for _ in range(repeats):
+        pages = spark.read.parquet(PAGES_PATH)
+        minute = rollup_pages(pages).persist()
+        try:
+            # one action forces the whole 1m->1h->1d->1w chain (week derives
+            # from day from hour from the persisted minute tier); minimizing
+            # driver actions keeps fixed scheduling cost out of the
+            # scaling measurement (Amdahl)
+            rows = minute.count()
+            tier_chain(minute, KEYS)["week"].select(F.sum("cnt")).collect()
+            tidy = minute.select(
+                "url", "lang",
+                (F.unix_timestamp("bucket_ts") / 60).cast("long").alias("bucket_idx"),
+                F.col("cnt").cast("double").alias("value"),
+            )
+            encode_chunks(tidy, KEYS).select(F.sum(F.length("val_blob"))).collect()
+        finally:
+            minute.unpersist()
     return time.time() - t0, rows
 
 
@@ -215,27 +220,44 @@ def main() -> None:
         # cluster N→4N executors are whole machines, matching the 2→8 shape.
         lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo_cpus * 4)))
-        secs = {}
-        for c in (hi_cpus, lo_cpus):
+        pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+
+        def run_at(c: int, warm: bool) -> float:
             s = get_spark(f"bench-scale-{c}", master=f"local[{c}]",
                           extra_conf={"spark.sql.shuffle.partitions": str(max(c, 4))})
-            scale_job(s)  # JIT warm-up
-            # median of 3: this box shows ±20-30% run-to-run noise; a single
-            # lucky/unlucky run can push apparent efficiency past 1.0
-            runs = sorted(scale_job(s)[0] for _ in range(3))
-            secs[c] = runs[1]
+            if warm:
+                scale_job(s)
+            secs = scale_job(s)[0]
             s.stop()
-        speedup = secs[lo_cpus] / secs[hi_cpus]
+            return secs
+
+        # this box's background load drifts on minute scales, so lo and hi
+        # are measured in interleaved (hi, lo) pairs and the efficiency is
+        # the median of per-pair ratios — same-phase comparison instead of
+        # comparing a quiet-hour lo against a busy-hour hi
+        pair_results = []
+        for i in range(pairs):
+            hi_s = run_at(hi_cpus, warm=(i == 0))
+            lo_s = run_at(lo_cpus, warm=(i == 0))
+            pair_results.append((hi_s, lo_s, lo_s / hi_s))
+        pair_results.sort(key=lambda p: p[2])
+        hi_med, lo_med, speedup = pair_results[len(pair_results) // 2]
         result["scaling"] = {
             "job": "rollup -> tier chain -> Gorilla-encode minute tier",
             "cpus_lo": lo_cpus,
             "cpus_hi": hi_cpus,
-            "secs_lo": round(secs[lo_cpus], 3),
-            "secs_hi": round(secs[hi_cpus], 3),
-            "points_per_sec_lo": round(minute_rows / secs[lo_cpus], 1),
-            "points_per_sec_hi": round(minute_rows / secs[hi_cpus], 1),
+            "secs_lo": round(lo_med, 3),
+            "secs_hi": round(hi_med, 3),
+            "points_per_sec_lo": round(minute_rows / lo_med, 1),
+            "points_per_sec_hi": round(minute_rows / hi_med, 1),
+            "pairs": [[round(h, 2), round(l, 2)] for h, l, _ in pair_results],
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / (hi_cpus / lo_cpus), 3),
+            "note": (
+                "single shared box; co-tenant load drifts measured efficiency "
+                "0.44-0.97 across the day (see BENCH.md calibrations); pairs "
+                "are interleaved hi/lo to compare within one load phase"
+            ),
         }
 
     result["value"] = round(sum(timings.values()), 3)
