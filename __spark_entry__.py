@@ -656,6 +656,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
             FROM events GROUP BY 1
         """,
+        "gorilla_roundtrip": """
+            SELECT event_type AS series_key, event_id AS bucket_idx, value
+            FROM events
+        """,
         "token_jaccard": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
             toks AS (

@@ -88,9 +88,53 @@ def test_brute_force_and_lsh_topk_agree_on_head(spark):
     ann = ann_lsh_topk(df, "embedding", "vec_id", q, k=3, n_planes=8).toPandas()
     assert set(ann["vec_id"]) >= {0, 1, 2}  # near-copies share the bucket
 
-    pairs = cosine_near_dup_pairs(df, "embedding", "vec_id", threshold=0.99, n_planes=6).toPandas()
+    pairs = cosine_near_dup_pairs(
+        df, "embedding", "vec_id", dim=16, threshold=0.99, n_planes=6
+    ).toPandas()
     found = {tuple(sorted(p)) for p in pairs[["id_a", "id_b"]].to_numpy()}
     assert {(0, 1), (0, 2), (1, 2)} <= found
+
+
+def test_ann_lsh_recall_at_10(spark):
+    """Quantified recall@10 ≥ 0.9 vs exact brute force on a clustered
+    fixture (the regime LSH is for: true neighbors at high cosine).
+    Ground truth from numpy, independently of the Spark brute-force path —
+    which is also asserted to match numpy exactly."""
+    rng = np.random.default_rng(123)
+    dim, n = 32, 2000
+    vecs = rng.normal(size=(n, dim))
+    q = rng.normal(size=dim)
+    # plant a 40-vector cluster around the query (noise sd 0.15 → cosine ≳ 0.97)
+    cluster_ids = rng.choice(n, size=40, replace=False)
+    for cid in cluster_ids:
+        vecs[cid] = q + rng.normal(0, 0.15, dim)
+    cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(n), -cos))
+    truth = set(order[:10].tolist())
+
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    bf = brute_force_topk(df, "embedding", "vec_id", q.tolist(), k=10).toPandas()
+    assert set(bf["vec_id"]) == truth  # exact path == numpy ground truth
+
+    ann = ann_lsh_topk(df, "embedding", "vec_id", q.tolist(), k=10, n_planes=10).toPandas()
+    recall = len(set(ann["vec_id"]) & truth) / 10
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_knn_graph_topk_per_row(spark):
+    from tslib_spark.operators.similarity import pairwise_topk_per_row
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(120, 8))
+    vecs[10] = vecs[5] + rng.normal(0, 0.01, 8)  # 5 and 10 are mutual NNs
+    pdf = pd.DataFrame({"vec_id": range(120), "embedding": [v.tolist() for v in vecs]})
+    g = pairwise_topk_per_row(
+        spark.createDataFrame(pdf), "embedding", "vec_id", dim=8, k=3, n_planes=6
+    ).toPandas()
+    n5 = g[g["id_a"] == 5].sort_values("rank")
+    assert len(n5) and n5["id_b"].iloc[0] == 10
+    assert (g.groupby("id_a")["rank"].max() <= 3).all()
 
 
 def test_text_functions(spark):

