@@ -18,6 +18,7 @@ equivalent → no oracle entry → driver records the weaker rows-only check.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -307,16 +308,23 @@ def _hourly_tidy(spark, sf_dir, N=24, M=30):
 
 
 def _q_svd_impute(spark, sf_dir):
+    """HSVT imputation; exact-checked at sf0.01 against a frozen numpy
+    oracle (fixtures/svd_impute_sf001.parquet — scripts/freeze_oracles.py).
+    Both sides round to the 1e-9 quantum before the driver's value hash."""
     tidy, cfg = _hourly_tidy(spark, sf_dir)
     fit = fit_transform(tidy, cfg)
-    return fit.filter("kind = 'imputed'").select("group_id", "idx", "value")
+    return fit.filter("kind = 'imputed'").select(
+        "group_id", "idx", F.round("value", 9).alias("value")
+    )
 
 
 def _q_svd_forecast(spark, sf_dir):
     tidy, cfg = _hourly_tidy(spark, sf_dir)
     fit = fit_transform(tidy, cfg)
     horizon_start = cfg.N * (cfg.M - 2)
-    return forecast(tidy, fit.filter("kind='weight'"), cfg, train_end_idx=horizon_start)
+    out = forecast(tidy, fit.filter("kind='weight'"), cfg, train_end_idx=horizon_start)
+    # exact-checked at sf0.01 vs fixtures/svd_forecast_sf001.parquet
+    return out.select("group_id", "idx", F.round("forecast", 9).alias("forecast"))
 
 
 def _q_rsc_weights(spark, sf_dir):
@@ -326,7 +334,10 @@ def _q_rsc_weights(spark, sf_dir):
     n_years = panel.select("year").distinct().count()
     prepared = prepare_panel(panel, "unit", "year", "avg_price")
     fit = rsc_fit(prepared, treated, donors, singvals=2, M=n_years)
-    return control_weights(fit, donors)
+    # exact-checked at sf0.01 vs fixtures/rsc_weights_sf001.parquet
+    return control_weights(fit, donors).select(
+        "group_id", "unit", F.round("weight", 9).alias("weight")
+    )
 
 
 def _q_json_props(spark, sf_dir):
@@ -379,7 +390,12 @@ def _q_asof_join(spark, sf_dir):
     )
     # strict precedence: shift right side by 1 microsecond so ties exclude self
     right = right.withColumn("r_ts", F.timestamp_micros(F.unix_micros(F.col("r_ts").cast("timestamp")) + 1))
-    out = asof_join(left, right, ["user_id"], "l_ts", "r_ts", ["prev_value", "prev_event"])
+    # tie-break on event_id so duplicate (user_id, ts) right rows resolve
+    # deterministically (events data has none today; belt-and-braces)
+    out = asof_join(
+        left, right, ["user_id"], "l_ts", "r_ts", ["prev_value", "prev_event"],
+        right_tiebreak=["prev_event"],
+    )
     return out.select("user_id", "l_event", "prev_event", "prev_value")
 
 
@@ -404,16 +420,26 @@ def _q_als_impute(spark, sf_dir):
 
     als_cfg = replace(cfg, method="als", k=2, als_seed=11)
     fit = fit_transform(tidy, als_cfg)
-    return fit.filter("kind = 'imputed'").select("group_id", "idx", "value")
+    # exact-checked at sf0.01 vs fixtures/als_impute_sf001.parquet
+    return fit.filter("kind = 'imputed'").select(
+        "group_id", "idx", F.round("value", 9).alias("value")
+    )
 
 
 def _q_harmonics_gen(spark, sf_dir):
-    """Distributed harmonics+trend generator (rows-only: sin/cos differ in
-    the last ulp across engines' libm, so no value-hash oracle)."""
-    from tslib_spark.datagen.spark_series import harmonics_df, hide_values_df
+    """Distributed harmonics generator, exact-checked: the sin/cos factors
+    are Python-float literals shared verbatim with the DuckDB oracle, and
+    round(6) absorbs JVM-vs-libm last-ulp differences (boundary-flake odds
+    ~1e-9/point at a 1e-6 quantum). Masking here is arithmetic
+    (bucket_idx % 10 < 7 ≙ p_observe 0.7) so ANSI SQL can express it; the
+    hash-based hide_values_df keeps its own pytest coverage."""
+    from tslib_spark.datagen.spark_series import harmonics_df
 
     df = harmonics_df(spark, 20_000, [-2.0, 3.0], [26.0, 30.0], [-2.5], [16.0])
-    return hide_values_df(df, p_observe=0.7)
+    return df.select(
+        "bucket_idx",
+        F.when(F.col("bucket_idx") % 10 < 7, F.round("value", 6)).alias("value"),
+    )
 
 
 def _q_minhash_near_dup(spark, sf_dir):
@@ -613,7 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             SELECT doc_id,
               CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
               END AS n_tokens,
               length(text) AS n_chars_computed,
               n_chars
@@ -621,12 +647,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": """
             SELECT doc_id,
-              CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS DOUBLE) AS n_tokens_d,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens_d,
               CAST(length(text) AS DOUBLE)
-                / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS mean_tok_len,
+                / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_tok_len,
               CAST(len(list_filter(string_split(text, ' '),
                         t -> t IN ('the', 'a', 'value', 'table'))) AS DOUBLE)
-                / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS stop_ratio
+                / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_ratio
             FROM documents
         """,
         "lang_by_source": """
@@ -659,6 +685,53 @@ def oracle_sql() -> dict[str, str]:
         "gorilla_roundtrip": """
             SELECT event_type AS series_key, event_id AS bucket_idx, value
             FROM events
+        """,
+        # frozen numpy oracles (scripts/freeze_oracles.py) — valid at the
+        # driver's sf0.01 gate; both sides pre-round to the 1e-9 quantum
+        "svd_impute": """
+            SELECT group_id, idx, round(value, 9) AS value
+            FROM read_parquet('/root/repo/fixtures/svd_impute_sf001.parquet')
+        """,
+        "als_impute": """
+            SELECT group_id, idx, round(value, 9) AS value
+            FROM read_parquet('/root/repo/fixtures/als_impute_sf001.parquet')
+        """,
+        "svd_forecast": """
+            SELECT group_id, idx, round(forecast, 9) AS forecast
+            FROM read_parquet('/root/repo/fixtures/svd_forecast_sf001.parquet')
+        """,
+        "rsc_weights": """
+            SELECT group_id, unit, round(weight, 9) AS weight
+            FROM read_parquet('/root/repo/fixtures/rsc_weights_sf001.parquet')
+        """,
+        # integer-exact fixtures (pure xxhash64 pipelines re-implemented in
+        # plain Python — tslib_spark/oracle/textdedup.py); no rounding:
+        # any bit difference is a real bug
+        "minhash_near_dup": """
+            SELECT id_a, id_b, jaccard
+            FROM read_parquet('/root/repo/fixtures/minhash_near_dup_sf001.parquet')
+        """,
+        "simhash_signatures": """
+            SELECT doc_id, simhash
+            FROM read_parquet('/root/repo/fixtures/simhash_signatures_sf001.parquet')
+        """,
+        # bit-exact float fixture: the JVM's aggregate() sums are strict
+        # left-to-right, replicated verbatim in freeze_ann_lsh
+        "ann_lsh_topk": """
+            SELECT vec_id, cosine
+            FROM read_parquet('/root/repo/fixtures/ann_lsh_topk_sf001.parquet')
+        """,
+        # factors computed EXACTLY as harmonics_df computes its literals
+        # (p * 2.0 * math.pi / T in Python float64), so only sin/cos ulp
+        # differs — absorbed by the shared round(6)
+        "harmonics_gen": f"""
+            SELECT range AS bucket_idx,
+              CASE WHEN range % 10 < 7 THEN round(
+                0.0 + -2.0 * sin(range * {26.0 * 2.0 * math.pi / 20000.0!r})
+                    + 3.0 * sin(range * {30.0 * 2.0 * math.pi / 20000.0!r})
+                    + -2.5 * cos(range * {16.0 * 2.0 * math.pi / 20000.0!r}), 6)
+              END AS value
+            FROM range(0, 20000)
         """,
         "token_jaccard": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),

@@ -89,6 +89,26 @@ def test_brand_update_tracks_full_refit(spark, low_rank_series):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_update_when_weights_rank_below_k(spark, low_rank_series):
+    """cfg.k above the past-only design's row count: the weights SVD clamps
+    to kw < k. State must carry kw separately so the update reshape works
+    (regression: a single k column made reshape(-1, k) raise)."""
+    N, M_total, mat = low_rank_series
+    M0 = 35
+    base = mat[:, :M0].flatten("F")
+    new_block = mat[:, M0:].flatten("F")
+    cfg = ModelConfig(target_key="t1", N=N, M=M0, k=N + 5)  # k > N-1 design rows
+    state0 = fit_state(spark.createDataFrame(tidy(base)), cfg)
+    s0 = state0.toPandas().iloc[0]
+    assert s0["kw"] < s0["k"]
+    s1 = (
+        update_state(state0, spark.createDataFrame(tidy(new_block, start_idx=N * M0)))
+        .toPandas()
+        .iloc[0]
+    )
+    assert s1["times_updated"] == 1 and len(s1["last_row"]) == M_total
+
+
 def test_state_passthrough_when_no_new_data(spark, low_rank_series):
     N, M_total, mat = low_rank_series
     cfg = ModelConfig(target_key="t1", N=N, M=35, k=3)

@@ -28,15 +28,13 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count via length arithmetic.
-
-    length(t) - length(replace(t,' ','')) + 1 — chosen over split() so the
-    identical integer arithmetic is expressible in any ANSI oracle.
+    """Whitespace token count, consistent with tokens(): splits on runs of
+    any whitespace, so tabs/newlines/multi-space runs count one boundary.
+    (An earlier length-arithmetic form counted single ASCII spaces only and
+    disagreed with tokens()/mean_token_len on real text.)
     """
     t = F.trim(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
-    )
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, "\\s+")))
 
 
 def bpe_ish_token_count(text: Column) -> Column:

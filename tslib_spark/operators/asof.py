@@ -27,9 +27,16 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    right_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Returns every left row + the as-of payload columns (NULL if no
-    right row precedes it)."""
+    right row precedes it).
+
+    ``right_tiebreak``: payload column names that order right rows sharing
+    an exact (key, ts) — the highest wins. Without it, ties resolve
+    arbitrarily (any SQL engine's ASOF does the same); pass it whenever the
+    right side isn't unique per (key, ts) and determinism matters.
+    """
     lcols = [c for c in left.columns]
     l_tag = left.select(
         *keys,
@@ -46,9 +53,10 @@ def asof_join(
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
     )
     unioned = l_tag.unionByName(r_tag)
+    tb = [F.col(f"_p_{c}").asc_nulls_first() for c in (right_tiebreak or [])]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_t").asc(), F.col("_is_right").desc())
+        .orderBy(F.col("_t").asc(), F.col("_is_right").desc(), *tb)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

@@ -33,7 +33,7 @@ from tslib_spark.kernels import linalg
 from tslib_spark.kernels.svd_kernel import ModelConfig
 
 STATE_SCHEMA = (
-    "group_id string, n int, m int, k int, p double, n_series int, "
+    "group_id string, n int, m int, k int, kw int, p double, n_series int, "
     "uk array<double>, sk array<double>, vk array<double>, "
     "ukw array<double>, skw array<double>, vkw array<double>, "
     "last_row array<double>, weights array<double>, times_updated int, "
@@ -49,6 +49,11 @@ def _state_row(gid, cfg, n_series, uk, sk, vk, ukw, skw, vkw, last_row, weights,
                 "n": cfg.N,
                 "m": vk.shape[0] // 1,
                 "k": int(sk.size),
+                # the weights SVD comes from the past-only design matrix
+                # (fewer rows), so its effective rank can be smaller than k
+                # when cfg.k exceeds the design's row count — reshape
+                # ukw/vkw with kw, never k
+                "kw": int(skw.size),
                 "p": cfg.p,
                 "n_series": n_series,
                 "uk": uk.flatten().tolist(),
@@ -112,13 +117,14 @@ def _update_group(new_data: pd.DataFrame, state: pd.DataFrame, method: str) -> p
         out["imputed_new"] = [[]]
         return out
     s = state.iloc[0]
-    N, k, p, n_series = int(s["n"]), int(s["k"]), float(s["p"]), int(s["n_series"])
+    N, k, kw = int(s["n"]), int(s["k"]), int(s["kw"])
+    p, n_series = float(s["p"]), int(s["n_series"])
     uk = np.asarray(s["uk"], dtype=float).reshape(-1, k)
     sk = np.asarray(s["sk"], dtype=float)
     vk = np.asarray(s["vk"], dtype=float).reshape(-1, k)
-    ukw = np.asarray(s["ukw"], dtype=float).reshape(-1, k)
+    ukw = np.asarray(s["ukw"], dtype=float).reshape(-1, kw)
     skw = np.asarray(s["skw"], dtype=float)
-    vkw = np.asarray(s["vkw"], dtype=float).reshape(-1, k)
+    vkw = np.asarray(s["vkw"], dtype=float).reshape(-1, kw)
     last_row = np.asarray(s["last_row"], dtype=float)
 
     D = new_data.sort_values("bucket_idx")["value"].to_numpy(dtype=np.float64)

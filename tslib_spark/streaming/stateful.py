@@ -34,8 +34,12 @@ def _accumulate(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     for pdf in pdfs:
         vals = pdf["value"].dropna()
         cnt += len(vals)
-        vsum += int(round(vals.sum() * SCALE)) if len(vals) else 0
         if len(vals):
+            # round each value to the 1e-9 quantum BEFORE summing (exact
+            # int64 adds), matching the batch tier's cast-to-decimal(38,9)
+            # -then-sum semantics; a float64 batch sum rounded once can
+            # drift past the quantum on large batches (~n*eps*sum|x|)
+            vsum += int(vals.mul(SCALE).round().astype("int64").sum())
             vmin = min(vmin, float(vals.min()))
             vmax = max(vmax, float(vals.max()))
     state.update((cnt, vsum, vmin, vmax))
