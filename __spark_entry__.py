@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tslib_spark.functions import text as T
-from tslib_spark.functions.scalar import normalize_expr, rmse_agg
+from tslib_spark.functions.scalar import normalize_expr, rmse_agg, rmse_hidden
 from tslib_spark.kernels.rsc import control_weights, prepare_panel, rsc_fit
 from tslib_spark.kernels.svd_kernel import ModelConfig, fit_transform, forecast
 from tslib_spark.operators.dedup import exact_dedup, near_dup_minhash, simhash
@@ -146,6 +146,25 @@ def _q_rmse_vs_hourly_mean(spark, sf_dir):
         F.broadcast(hourly), ["event_type", "bucket_ts"]
     )
     return joined.groupBy("event_type").agg(rmse_agg(F.col("value"), F.col("hmean")).alias("rmse"))
+
+
+def _q_rmse_hidden(spark, sf_dir):
+    """Corrected rmseMissingData (ref tsUtils.py:87-99, the documented
+    latent bug): RMSE of the middle-fill imputation vs the ground truth,
+    restricted to the masked positions, per event_type."""
+    events = _read(spark, sf_dir, "events")
+    df = events.select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("truth"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("mv"),
+    ).withColumn("obs", F.col("mv"))
+    filled = middle_fill(df, ["event_type"], "mv")
+    return filled.groupBy("event_type").agg(
+        rmse_hidden(F.col("obs"), F.col("mv"), F.col("truth")).alias("rmse_hidden")
+    )
 
 
 def _q_sessionize(spark, sf_dir):
@@ -468,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densify_grid": _q_densify_grid,
         "normalize": _q_normalize,
         "rmse_vs_hourly_mean": _q_rmse_vs_hourly_mean,
+        "rmse_hidden": _q_rmse_hidden,
         "sessionize": _q_sessionize,
         "topk_users": _q_topk_users,
         "tpch_q1ish": _q_tpch_q1ish,
@@ -575,6 +595,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN h ON e.event_type = h.event_type
                  AND date_trunc('hour', e.ts) = h.bucket_ts
             GROUP BY 1
+        """,
+        "rmse_hidden": """
+            WITH m AS (
+              SELECT event_id, event_type, value AS truth,
+                     CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS obs
+              FROM events),
+            g AS (
+              SELECT event_type, truth, obs,
+                     COALESCE(obs, (MAX(obs) OVER (PARTITION BY event_type)
+                                    + MIN(obs) OVER (PARTITION BY event_type)) / 2.0) AS mv
+              FROM m)
+            SELECT event_type,
+                   SQRT(CAST(SUM(CASE WHEN obs IS NULL
+                         THEN CAST((mv - truth) * (mv - truth) AS DECIMAL(38,18)) END) AS DOUBLE)
+                        / COUNT(CASE WHEN obs IS NULL THEN 1 END)) AS rmse_hidden
+            FROM g GROUP BY 1
         """,
         "sessionize": """
             WITH g AS (

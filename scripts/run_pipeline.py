@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--pages", required=True)
     ap.add_argument("--store", required=True)
     ap.add_argument("--retain-days", type=int, default=0, help="expire minute partitions older than this many days from the max; 0 = no retention")
+    ap.add_argument("--retain-hour-days", type=int, default=0, help="expire hour-tier partitions older than this many days from the max; 0 = keep")
+    ap.add_argument("--retain-day-weeks", type=int, default=0, help="expire day-tier (week-partitioned) partitions older than this many weeks from the max; 0 = keep")
     ap.add_argument("--synthesize", type=int, default=0, help="generate N synthetic events at --pages first")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -88,11 +90,19 @@ def main() -> int:
     if not report["parity_minute_hour"]:
         print(json.dumps({"status": "failed", "stage": "parity", **report}))
         return 3
-    if args.retain_days:
-        done = sorted(store.checkpoint.done_partitions("minute"))
-        if len(done) > args.retain_days:
-            cutoff = done[-args.retain_days]
-            report["expired_partitions"] = len(store.retention_pass("minute", cutoff))
+    # fine-to-coarse expiry order; every pass re-verifies (or integrity-
+    # checks) the covering tier before deleting — see retention_pass
+    for tier, keep in (
+        ("minute", args.retain_days),
+        ("hour", args.retain_hour_days),
+        ("day", args.retain_day_weeks),
+    ):
+        if not keep:
+            continue
+        done = sorted(store.checkpoint.done_partitions(tier))
+        if len(done) > keep:
+            cutoff = done[-keep]
+            report[f"expired_{tier}_partitions"] = len(store.retention_pass(tier, cutoff))
 
     report["status"] = "ok"
     report["wall_secs"] = round(time.time() - t0, 1)

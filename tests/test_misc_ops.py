@@ -118,3 +118,44 @@ def test_hide_values_deterministic_and_calibrated(spark):
     assert abs(n_null / 10_000 - 0.3) < 0.02
     again = hide_values_df(df.repartition(13), p_observe=0.7)
     assert again.filter("value is null").count() == n_null
+
+
+def test_rmse_hidden_corrected_semantics(spark):
+    """rmse_hidden computes RMSE(imputed, truth) over the hidden positions
+    only — the corrected form of the reference's rmseMissingData
+    (tsUtils.py:87-99, which collects the NaNs themselves and returns NaN)."""
+    from tslib_spark.functions.scalar import rmse_hidden
+
+    truth = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    obs = truth.copy()
+    obs[[1, 3]] = np.nan
+    imputed = np.array([1.0, 2.5, 3.0, 3.0, 5.0])  # errors 0.5 and -1.0 at hidden
+    pdf = pd.DataFrame({"obs": obs, "imputed": imputed, "truth": truth})
+    got = (
+        spark.createDataFrame(pdf)
+        .agg(rmse_hidden(F.col("obs"), F.col("imputed"), F.col("truth")).alias("r"))
+        .collect()[0]["r"]
+    )
+    want = np.sqrt((0.5**2 + 1.0**2) / 2)
+    assert abs(got - want) < 1e-12
+
+    # nothing hidden -> NULL, never NaN-poisoned
+    pdf2 = pd.DataFrame({"obs": truth, "imputed": imputed, "truth": truth})
+    got2 = (
+        spark.createDataFrame(pdf2)
+        .agg(rmse_hidden(F.col("obs"), F.col("imputed"), F.col("truth")).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert got2 is None
+
+
+def test_asof_join_right_tiebreak(spark):
+    """Duplicate (key, ts) right rows resolve to the highest tie-break value."""
+    left = spark.createDataFrame([(1, 10)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 5, 300.0), (1, 5, 200.0)], "k long, rt long, payload double"
+    )
+    out = asof_join(
+        left, right, ["k"], "lt", "rt", ["payload"], right_tiebreak=["payload"]
+    ).collect()
+    assert out[0]["payload"] == 300.0

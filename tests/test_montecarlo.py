@@ -16,18 +16,30 @@ from pyspark.sql import functions as F
 from tslib_spark.kernels.rsc import control_weights, prepare_panel, rsc_fit
 
 
-def _trial(spark, seed, n_donors=25, n_times=24, rank=3):
+def _trial(spark, seed, n_donors=50, n_times=30, rank=10, singvals=8):
+    """One monte-carlo draw on the reference's published data-generating
+    process (testScriptMultiSynthControlSVD.py:180-214): shared (theta, rho)
+    parameter pools of size rowRank/colRank, metric 1 from the sigmoid+
+    growth family, metric 2 from the pure sigmoid, treated = uniform convex
+    combination of donor means, unit-variance gaussian noise on top."""
+    from tslib_spark.datagen.series import (
+        sigmoid_function_one,
+        sigmoid_function_two,
+        sigmoid_params,
+    )
+
     rng = np.random.default_rng(seed)
-    combo = rng.dirichlet(np.ones(n_donors))
+    combo = rng.uniform(0.0, 1.0, n_donors)
+    combo = combo / combo.sum()
+    theta, rho = sigmoid_params(n_donors, n_times, rank, rank, rng)
     metrics = []
-    for _ in range(2):
-        rowp, colp = rng.normal(size=(n_donors, rank)), rng.normal(size=(rank, n_times))
-        donors_mean = rowp @ colp
-        donors = donors_mean + rng.normal(0, 0.5, donors_mean.shape)
+    for fn in (sigmoid_function_one, sigmoid_function_two):
+        donors_mean = fn(theta[:, None], rho[None, :])
+        donors = donors_mean + rng.normal(0.0, 1.0, donors_mean.shape)
         treated_mean = combo @ donors_mean
-        treated = treated_mean + rng.normal(0, 0.5, n_times)
+        treated = treated_mean + rng.normal(0.0, 1.0, n_times)
         metrics.append((donors, treated, treated_mean))
-    pre = n_times // 2
+    pre = int(0.75 * n_times)  # TrainingEnd = 0.75 * T per the reference
     units = [f"u{d}" for d in range(n_donors)]
 
     def fit_weights(panel_rows, m_order, m_weights, M):
@@ -36,7 +48,7 @@ def _trial(spark, seed, n_donors=25, n_times=24, rank=3):
             spark.createDataFrame(pdf), "unit", "t", "value",
             metric_col="metric", metric_order=m_order, metric_weights=m_weights, n_times=pre,
         )
-        fit = rsc_fit(prepared, "treated", units, singvals=rank, M=M)
+        fit = rsc_fit(prepared, "treated", units, singvals=singvals, M=M)
         w = control_weights(fit, units).toPandas().set_index("unit").loc[units]["weight"].to_numpy()
         return w
 
@@ -62,15 +74,49 @@ def _trial(spark, seed, n_donors=25, n_times=24, rank=3):
 @pytest.mark.slow
 def test_mrsc_beats_rsc_on_average(spark):
     trials = []
-    for seed in range(6):
-        r = _trial(spark, seed=100 + seed)
+    for seed in range(10):
+        r = _trial(spark, seed=1000 + seed)
         trials.append(("mrsc", seed, r["mrsc"]))
         trials.append(("rsc", seed, r["rsc"]))
     tdf = spark.createDataFrame(pd.DataFrame(trials, columns=["method", "trial", "rmse"]))
     means = (
         tdf.groupBy("method").agg(F.avg("rmse").alias("mean_rmse")).toPandas().set_index("method")
     )
-    # with the same pre-period per metric, the second metric's donor pool
-    # information should not hurt and typically helps (mRSC's claim)
-    assert means.loc["mrsc", "mean_rmse"] < means.loc["rsc", "mean_rmse"] * 1.15
+    # the published mRSC > RSC result (testScriptMultiSynthControlSVD.py:
+    # 290-345) on the published sigmoid-family DGP at its own scale:
+    # the second metric's shared weights reduce test-horizon RMSE on average
+    assert means.loc["mrsc", "mean_rmse"] < means.loc["rsc", "mean_rmse"]
     assert means.loc["mrsc", "mean_rmse"] < 1.0
+
+
+def test_rank_preservation_diagnostic(spark):
+    """Shared latent row parameters → the combined two-metric panel's
+    spectrum decays like each metric's own (the mRSC justification), so the
+    tail singular value past the shared-structure rank is negligible."""
+    from tslib_spark.datagen.series import (
+        sigmoid_function_one,
+        sigmoid_function_two,
+        sigmoid_params,
+    )
+    from tslib_spark.kernels.rsc import rank_preservation_diagnostic
+
+    rng = np.random.default_rng(3)
+    n_units, n_times, rank = 40, 25, 3
+    theta, rho = sigmoid_params(n_units, n_times, rank, rank, rng)
+    rows = []
+    for mi, fn in enumerate((sigmoid_function_one, sigmoid_function_two)):
+        mean = fn(theta[:, None], rho[None, :])  # noise-free mean panels
+        for u in range(n_units):
+            for t in range(n_times):
+                rows.append(("g", f"u{u}", mi * n_times + t, float(mean[u, t])))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["group_id", "series_key", "bucket_idx", "value"])
+    )
+    diag = rank_preservation_diagnostic(df, n_metrics=2, n_times=n_times, k=8).toPandas()
+    sv = diag.pivot_table(index="sv_idx", columns="matrix", values="sv")
+    # combined spectrum is rank-preserving: tail far below the head,
+    # decaying like each metric's own spectrum (pool size bounds rank ~3)
+    assert sv.loc[6, "combined"] / sv.loc[0, "combined"] < 1e-6
+    for m in ("metric0", "metric1"):
+        assert sv.loc[6, m] / sv.loc[0, m] < 1e-6
+    assert sv.loc[0, "combined"] <= sv.loc[0, "metric0"] + sv.loc[0, "metric1"]

@@ -113,3 +113,51 @@ def test_retention_expires_and_is_terminal(spark, store_root, minute_source):
     assert set(cp[(cp["tier"] == "minute") & (cp["status"] == "expired")]["partition_key"]) == set(
         expired
     )
+
+
+def test_retention_generalizes_to_coarser_tiers(spark, store_root, minute_source):
+    """hour→day and day→week expiry behind the same parity gate, plus
+    repeated passes (regression: whole-tier parity re-verification would
+    block forever once the fine tier is partially expired)."""
+    store = TierStore(spark, store_root, KEYS)
+    store.materialize_chain(minute_source)
+
+    assert len(store.retention_pass("minute", "2024-01-08")) == 7
+    # hour tier is day-partitioned; its coarse (day) tier is week-partitioned
+    assert len(store.retention_pass("hour", "2024-01-08")) == 7
+    # day tier is week-partitioned: expiring < 01-08 drops week 2024-01-01
+    assert store.retention_pass("day", "2024-01-08") == ["2024-01-01"]
+
+    # repeated minute pass with a later cutoff: recompute-verifies only the
+    # still-coverable hour partitions, never the already-expired ones
+    again = store.retention_pass("minute", "2024-01-10")
+    assert again == ["2024-01-08", "2024-01-09"]
+
+    # week tier still holds the whole range
+    assert len(store.checkpoint.done_partitions("week")) >= 2
+    wk = store.read_tier("week")
+    assert wk.select(F.min("bucket_ts")).collect()[0][0].strftime("%Y-%m-%d") == "2024-01-01"
+
+
+def test_retention_integrity_path_for_partially_expired_coarse(
+    spark, store_root, minute_source
+):
+    """An hour pass whose covering day partition already lost some hours to
+    an earlier pass goes through the recorded-checksum integrity check."""
+    store = TierStore(spark, store_root, KEYS)
+    store.materialize_chain(minute_source)
+    assert len(store.retention_pass("hour", "2024-01-03")) == 2
+    # week-partition 2024-01-01 of the day tier is now tainted: recompute
+    # from hours is impossible, so the recorded checksum gates instead
+    assert store.retention_pass("hour", "2024-01-05") == ["2024-01-03", "2024-01-04"]
+
+    # corrupt the day tier and the integrity path must block the next pass
+    import pandas as pd
+
+    cp = store.checkpoint.read()
+    bad = cp.copy()
+    mask = (bad["tier"] == "day") & (bad["status"] == "done")
+    bad.loc[mask, "checksum"] = bad.loc[mask, "checksum"] + 1
+    store.checkpoint._write(bad)
+    with pytest.raises(RuntimeError, match="recorded checksum"):
+        store.retention_pass("hour", "2024-01-06")

@@ -89,6 +89,53 @@ def generate_arma(
     return out[max_lags:], mean[max_lags:], noise[max_lags:]
 
 
+def sigmoid_function_one(theta, rho, alpha: float = 0.7):
+    """The reference's simpleFunctionOne (testScriptMultiSynthControlSVD.py:
+    34-42): a saturating sigmoid plus an exponential-growth term. Vectorized
+    over numpy arrays (broadcast theta against rho for a panel)."""
+    exp_term = np.exp(-theta - rho - alpha * theta * rho)
+    exp_term2 = np.exp(-alpha * theta * rho)
+    return 10.0 / (1.0 + exp_term) + 10.0 / exp_term2
+
+
+def sigmoid_function_two(theta, rho, alpha: float = 0.5):
+    """The reference's simpleFunctionTwo (testScriptMultiSynthControlSVD.py:
+    44-50): pure sigmoid, no growth term."""
+    exp_term = np.exp(-theta - rho - alpha * theta * rho)
+    return 10.0 / (1.0 + exp_term)
+
+
+def sigmoid_panel(
+    n_units: int,
+    n_times: int,
+    row_rank: int,
+    col_rank: int,
+    fn,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Mean panel M[i, j] = fn(theta_i, rho_j), with unit/time parameters
+    drawn from finite pools of size row_rank/col_rank (the reference's
+    generateDataMatrix + parameter draws, testScriptMultiSynthControlSVD.py:
+    52-58 and 186-193) — the pools bound the matrix's approximate rank.
+    To share one parameter draw across metrics (the reference reuses one
+    draw for both metric matrices), draw with sigmoid_params and apply the
+    fn directly."""
+    theta_pool = rng.uniform(0.0, 1.0, row_rank)
+    rho_pool = rng.uniform(0.0, 1.0, col_rank)
+    theta = rng.choice(theta_pool, n_units)
+    rho = rng.choice(rho_pool, n_times)
+    return fn(theta[:, None], rho[None, :])
+
+
+def sigmoid_params(
+    n_units: int, n_times: int, row_rank: int, col_rank: int, rng: np.random.Generator
+) -> tuple[np.ndarray, np.ndarray]:
+    """One (theta, rho) parameter draw, shared across metric matrices."""
+    theta = rng.choice(rng.uniform(0.0, 1.0, row_rank), n_units)
+    rho = rng.choice(rng.uniform(0.0, 1.0, col_rank), n_times)
+    return theta, rho
+
+
 def hide_random(array: np.ndarray, p_observe: float, rng: np.random.Generator):
     """NaN-out entries u.a.r. with prob 1-p (reference: tsUtils.py:119-128)."""
     arr = array.copy()

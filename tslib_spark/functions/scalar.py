@@ -29,6 +29,22 @@ def clip_expr(value: Column, vmin: Column, vmax: Column) -> Column:
     return F.least(F.greatest(value, vmin), vmax)
 
 
+def rmse_hidden(observed: Column, imputed: Column, truth: Column) -> Column:
+    """RMSE over the positions hidden in ``observed`` (NULL or NaN) — the
+    corrected semantics of the reference's rmseMissingData
+    (/root/reference/src/tsUtils.py:87-99), whose published form appends
+    the NaN observations themselves to the comparison subset and therefore
+    always returns NaN. Corrected: sqrt(mean((imputed-truth)² over
+    {i : observed_i missing})); NULL when nothing was hidden.
+
+    Same decimal(38,18) square-sum trick as rmse_agg → order-insensitive,
+    bit-stable across partitionings and vs an ANSI oracle.
+    """
+    hidden = observed.isNull() | F.isnan(observed.cast("double"))
+    sq = F.when(hidden, ((imputed - truth) * (imputed - truth)).cast("decimal(38,18)"))
+    return F.sqrt(F.sum(sq).cast("double") / F.count(sq))
+
+
 def rmse_agg(a: Column, b: Column) -> Column:
     """sqrt(mean((a-b)^2)) as an aggregate expression (tsUtils.py:83-84).
 

@@ -111,6 +111,40 @@ def control_weights(fit: DataFrame, donor_units: list[str]) -> DataFrame:
     )
 
 
+def rank_preservation_diagnostic(
+    prepared: DataFrame, n_metrics: int, n_times: int, k: int
+) -> DataFrame:
+    """Top-k singular values of each metric slice and of the combined
+    metric-major panel — the reference's rank-preservation diagnostic
+    (testScriptMultiSynthControlSVD.py:117-178) as a DataFrame instead of a
+    matplotlib plot. mRSC is justified when the combined spectrum decays
+    like the individual ones (shared latent row structure), not like their
+    concatenation; read the output as that plot's data.
+
+    One grouped kernel per panel; returns (group_id, matrix, sv_idx, sv)
+    with matrix ∈ {metric0.., combined}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = "group_id string, matrix string, sv_idx int, sv double"
+
+    def _diag(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf["group_id"].iloc[0]
+        piv = pdf.pivot_table(index="series_key", columns="bucket_idx", values="value")
+        mat = piv.to_numpy(dtype=float)
+        rows = []
+        for m in range(n_metrics):
+            sub = mat[:, m * n_times : (m + 1) * n_times]
+            for i, v in enumerate(np.linalg.svd(sub, compute_uv=False)[:k]):
+                rows.append((gid, f"metric{m}", i, float(v)))
+        for i, v in enumerate(np.linalg.svd(mat, compute_uv=False)[:k]):
+            rows.append((gid, "combined", i, float(v)))
+        return pd.DataFrame(rows, columns=["group_id", "matrix", "sv_idx", "sv"])
+
+    return prepared.groupBy("group_id").applyInPandas(_diag, schema=schema)
+
+
 def rsc_predict(
     panel: DataFrame,
     weights: DataFrame,

@@ -136,34 +136,83 @@ class TierStore:
         return written
 
     # ---------------- verification + retention ----------------
-    def verify_tier_parity(self, fine: str, coarse: str) -> bool:
+    def _coarse_part_key(self, fine_pk: str, coarse: str) -> str:
+        """The coarse-tier partition that covers a fine partition key
+        (week truncation = Monday start, matching date_trunc('week'))."""
+        from datetime import date, timedelta
+
+        d = date.fromisoformat(fine_pk)
+        if PART_TRUNC[coarse] == "week":
+            d = d - timedelta(days=d.weekday())
+        return d.isoformat()
+
+    def verify_tier_parity(self, fine: str, coarse: str, coarse_pks=None) -> bool:
         """Recompute ``coarse`` from stored ``fine`` and compare checksums
-        partition-by-partition against the stored coarse tier."""
+        partition-by-partition against the stored coarse tier; optionally
+        restricted to ``coarse_pks`` (a collection of partition keys)."""
         recomputed = self._with_part_key(
             downsample(self.read_tier(fine), coarse, self.keys), coarse
         )
-        want = self._partition_checksums(recomputed)
-        got = self._partition_checksums(
-            self._with_part_key(self.read_tier(coarse), coarse)
-        )
-        return want == got
+        stored = self._with_part_key(self.read_tier(coarse), coarse)
+        if coarse_pks is not None:
+            pks = list(coarse_pks)
+            recomputed = recomputed.filter(F.col("part_key").isin(pks))
+            stored = stored.filter(F.col("part_key").isin(pks))
+        return self._partition_checksums(recomputed) == self._partition_checksums(stored)
 
     def retention_pass(self, tier: str, expire_before: str) -> list[str]:
-        """Expire ``tier`` partitions with part_key < expire_before, but only
-        if the covering coarser tier verifies; records 'expired' lineage."""
+        """Expire ``tier`` partitions with part_key < expire_before, gated on
+        the covering coarser tier provably holding them; records 'expired'
+        lineage (terminal — expired ranges never rematerialize).
+
+        Works on every tier with a coarser neighbor (minute→hour, hour→day,
+        day→week), and supports REPEATED passes: coarse partitions whose
+        covering fine rows all survive are re-verified by full recompute;
+        coarse partitions already missing some fine rows from an earlier
+        pass can't be recomputed, so they are integrity-checked against the
+        checksum recorded in the checkpoint when they were materialized.
+        """
         order = ["minute", "hour", "day", "week"]
         coarse = order[order.index(tier) + 1]
-        if not self.verify_tier_parity(tier, coarse):
+        cp = self.checkpoint.read()
+        mine = cp[cp["tier"] == tier]
+        already_expired = set(mine[mine["status"] == "expired"]["partition_key"].astype(str))
+        candidates = sorted(
+            pk for pk in self.checkpoint.done_partitions(tier) if pk < expire_before
+        )
+        if not candidates:
+            return []
+
+        affected = {self._coarse_part_key(pk, coarse) for pk in candidates}
+        tainted = {self._coarse_part_key(pk, coarse) for pk in already_expired}
+        recomputable = sorted(affected - tainted)
+        integrity_only = sorted(affected & tainted)
+
+        if recomputable and not self.verify_tier_parity(tier, coarse, recomputable):
             raise RuntimeError(
-                f"retention blocked: {coarse} tier does not match {tier} rollup"
+                f"retention blocked: {coarse} tier does not match {tier} rollup "
+                f"for partitions {recomputable}"
             )
+        if integrity_only:
+            got = self._partition_checksums(
+                self._with_part_key(self.read_tier(coarse), coarse).filter(
+                    F.col("part_key").isin(integrity_only)
+                )
+            )
+            for pk in integrity_only:
+                want = self.checkpoint.checksum_of(coarse, pk)
+                if want is None or got.get(pk, (0, None))[1] != want:
+                    raise RuntimeError(
+                        f"retention blocked: stored {coarse} partition {pk} no "
+                        f"longer matches its recorded checksum"
+                    )
+
         base = Path(self.tier_path(tier))
         expired = []
-        for pk in sorted(self.checkpoint.done_partitions(tier)):
-            if pk < expire_before:
-                part_dir = base / f"part_key={pk}"
-                if part_dir.exists():
-                    shutil.rmtree(part_dir)
-                self.checkpoint.mark(tier, pk, "expired", 0, 0, 0)
-                expired.append(pk)
+        for pk in candidates:
+            part_dir = base / f"part_key={pk}"
+            if part_dir.exists():
+                shutil.rmtree(part_dir)
+            self.checkpoint.mark(tier, pk, "expired", 0, 0, 0)
+            expired.append(pk)
         return expired
