@@ -125,7 +125,12 @@ def test_chunk_table_roundtrip(spark):
     from tslib_spark.codec.chunks import chunk_stats, decode_chunks, encode_chunks
 
     chunks = encode_chunks(df, ["series_key"]).cache()
-    assert chunks.count() == 4  # ceil(5000/4096) per series
+    # chunks are (series, time-window) bounded: one per occupied 4096-tick
+    # window (skew salting — a head series spreads across tasks), each
+    # within the point bound
+    cpdf = chunks.toPandas()
+    assert len(cpdf) >= 4 and (cpdf["n_points"] <= 4096).all()
+    assert cpdf.groupby("series_key")["n_points"].sum().eq(5000).all()
     stats = chunk_stats(chunks).collect()[0]
     assert stats["points"] == 10000
     assert stats["compression_ratio"] > 1.0

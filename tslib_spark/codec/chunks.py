@@ -24,8 +24,8 @@ from tslib_spark.codec.gorilla import (
     CHUNK_SIZE,
     decode_timestamps,
     decode_values,
-    encode_timestamps,
-    encode_values,
+    encode_timestamps_multi,
+    encode_values_multi,
 )
 
 
@@ -39,45 +39,102 @@ def encode_chunks(
 ) -> DataFrame:
     """Tidy series rows → compressed chunk rows (one kernel pass).
 
-    Kernel granularity matters at scale: one applyInPandas group per
-    *series* pays the JVM↔Python Arrow crossing (~ms) per series — with
-    10^5+ short series that fixed cost dominates the actual bit-packing.
-    Instead the shuffle groups by ``pmod(xxhash64(keys), kernel_buckets)``
-    and one kernel call encodes every series in its bucket (pandas groupby
-    inside). The bucket count doubles as skew salting: a head url shares
-    its bucket with ~n_series/kernel_buckets others, never a whole task.
+    Kernel granularity matters at scale in both directions:
+
+    - one applyInPandas group per *series* pays the JVM↔Python Arrow
+      crossing (~ms) per series — with 10^5+ short series that fixed cost
+      dominates the bit-packing — so many series ride one bucket;
+    - one group per series also makes a HEAD series (zipf crawl data: the
+      top url can be ~10% of all rows) a single straggler task that caps
+      wall-clock at any parallelism.
+
+    So the shuffle key is ``pmod(xxhash64(sid, window), kernel_buckets)``
+    where ``window = floor(ts / chunk_size)`` — explicit skew salting by
+    time range, per the north rule. A head series splits into one bounded
+    chunk per window spread across tasks; short series still amortize the
+    Python crossing through shared buckets. chunk_id = window (globally
+    time-ordered; the rare window holding > chunk_size duplicate-ts points
+    spills into window*2^20 + i ordinals).
+
+    ``sid = xxhash64(keys)``: the shuffle and the Arrow crossing carry an
+    8-byte series id instead of repeating the key strings per row (~3×
+    less transfer for url-keyed crawl series; int sorts in the kernel
+    instead of string sorts). Key values rejoin the chunk rows afterwards
+    via a broadcast of the distinct key→sid dictionary — chunk rows are
+    ~points/chunk_size rarer than input rows, so the join is cheap. A
+    64-bit collision would merge two series' chunks (birthday bound ~1e-9
+    at 10^7 series per job — revisit with sha2 folding at 10^9+).
     """
-    key_fields = ", ".join(f"`{k}` string" for k in keys)
     schema = (
-        f"{key_fields}, chunk_id long, n_points int, ts_start long, "
+        "_sid long, chunk_id long, n_points int, ts_start long, "
         "ts_blob binary, val_blob binary"
     )
 
     def _encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([*keys, ts_col])
-        rows = []
-        for keyvals, sub in pdf.groupby(keys, sort=False):
-            if not isinstance(keyvals, tuple):
-                keyvals = (keyvals,)
-            ts = sub[ts_col].to_numpy(dtype=np.int64)
-            vals = sub[value_col].to_numpy(dtype=np.float64)
-            for ci, start in enumerate(range(0, len(ts), chunk_size)):
-                t = ts[start : start + chunk_size]
-                v = vals[start : start + chunk_size]
-                rows.append(
-                    (*keyvals, ci, len(t), int(t[0]), encode_timestamps(t), encode_values(v))
-                )
-        return pd.DataFrame(
-            rows, columns=[*keys, "chunk_id", "n_points", "ts_start", "ts_blob", "val_blob"]
-        )
+        # one vectorized encode pass over the whole bucket: sort by
+        # (sid, window, ts), find group starts, batch-encode every chunk
+        # at once (encode_*_multi) — per-chunk Python cost is one
+        # packbits, not a full encode call
+        pdf = pdf.sort_values(["_sid", "_win", ts_col], ignore_index=True)
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                columns=["_sid", "chunk_id", "n_points", "ts_start", "ts_blob", "val_blob"]
+            )
+        changed = np.zeros(n, dtype=bool)
+        changed[0] = True
+        for c in ("_sid", "_win"):
+            arr = pdf[c].to_numpy()
+            changed[1:] |= arr[1:] != arr[:-1]
+        group_starts = np.flatnonzero(changed)
+        # split any group longer than chunk_size into bounded chunks
+        glens = np.diff(np.append(group_starts, n))
+        starts = group_starts
+        if (glens > chunk_size).any():
+            extra = [
+                np.arange(s + chunk_size, s + ln, chunk_size)
+                for s, ln in zip(group_starts, glens)
+                if ln > chunk_size
+            ]
+            starts = np.unique(np.concatenate([group_starts, *extra]))
 
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        ts_blobs = encode_timestamps_multi(ts, starts)
+        val_blobs = encode_values_multi(vals, starts)
+
+        lens = np.diff(np.append(starts, n))
+        wins = pdf["_win"].to_numpy()[starts]
+        # ordinal within (series, window) for the rare > chunk_size spill
+        first_of_group = np.isin(starts, group_starts, assume_unique=True)
+        ordinal = np.arange(starts.size) - np.maximum.accumulate(
+            np.where(first_of_group, np.arange(starts.size), -1)
+        )
+        chunk_ids = np.where(ordinal == 0, wins, wins * (1 << 20) + ordinal)
+        out = pd.DataFrame({"_sid": pdf["_sid"].to_numpy()[starts]})
+        out["chunk_id"] = chunk_ids.astype(np.int64)
+        out["n_points"] = lens.astype(np.int32)
+        out["ts_start"] = ts[starts]
+        out["ts_blob"] = ts_blobs
+        out["val_blob"] = val_blobs
+        return out
+
+    win = F.floor(F.col(ts_col).cast("long") / F.lit(chunk_size))
+    sid = F.xxhash64(*[F.col(k).cast("string") for k in keys])
     tidy = df.select(
-        *[F.col(k).cast("string") for k in keys],
+        sid.alias("_sid"),
         F.col(ts_col).cast("long").alias(ts_col),
         F.col(value_col).cast("double").alias(value_col),
-        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(kernel_buckets)).alias("_bucket"),
+        win.alias("_win"),
+        F.pmod(F.xxhash64(sid, win), F.lit(kernel_buckets)).alias("_bucket"),
     )
-    return tidy.groupBy("_bucket").applyInPandas(_encode_bucket, schema=schema)
+    chunks = tidy.groupBy("_bucket").applyInPandas(_encode_bucket, schema=schema)
+    sid_dict = df.select(*[F.col(k).cast("string") for k in keys]).distinct().withColumn(
+        "_sid", sid
+    )
+    return chunks.join(F.broadcast(sid_dict), "_sid").select(
+        *keys, "chunk_id", "n_points", "ts_start", "ts_blob", "val_blob"
+    )
 
 
 def decode_chunks(

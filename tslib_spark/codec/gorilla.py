@@ -134,6 +134,143 @@ def encode_values(values: np.ndarray) -> bytes:
     return header_bytes + _pack_codes(hi, lo, width)
 
 
+def _pack_spans(
+    hi: np.ndarray, lo: np.ndarray, width: np.ndarray, starts: np.ndarray
+) -> list[bytes]:
+    """Pack codes into ONE payload per span (series), vectorized across all
+    spans at once: one (n × maxw) bit matrix for the whole batch, then a
+    cheap per-span packbits over its flat-bit slice. ``starts`` are span
+    start indices into the code arrays (first span starts at 0).
+
+    This is what makes many-small-series encoding cheap: the per-series
+    cost collapses to ~10 µs (slice + packbits) instead of a full encode
+    call (~1 ms of numpy/pandas fixed overhead).
+
+    The (slab × maxw) bit matrix is materialized in bounded slabs — for
+    millions of codes a single matrix plus its int temporaries would run
+    to gigabytes."""
+    n = width.size
+    if n == 0:
+        return []
+    SLAB = 1 << 18
+    flats = []
+    for a in range(0, n, SLAB):
+        b = min(a + SLAB, n)
+        w = width[a:b].astype(np.int32)
+        maxw = int(w.max())
+        j = np.arange(maxw, dtype=np.int32)[None, :]
+        shift = w[:, None] - 1 - j
+        valid = shift >= 0
+        sh = np.where(valid, shift, 0)
+        from_hi = sh >= 64
+        sh_lo = np.where(from_hi, 0, sh).astype(np.uint64)
+        sh_hi = np.where(from_hi, sh - 64, 0).astype(np.uint64)
+        bits = np.where(
+            from_hi,
+            (hi[a:b, None] >> sh_hi) & _U64(1),
+            (lo[a:b, None] >> sh_lo) & _U64(1),
+        ).astype(np.uint8)
+        flats.append(bits[valid])
+    flat = np.concatenate(flats) if len(flats) > 1 else flats[0]
+    # bit offset of each span within the flat stream
+    cum_w = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(width, out=cum_w[1:])
+    bounds = np.append(cum_w[starts], cum_w[-1])
+    return [
+        np.packbits(flat[bounds[i] : bounds[i + 1]]).tobytes()
+        for i in range(starts.size)
+    ]
+
+
+def encode_values_multi(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Gorilla-XOR encode many series in one vectorized pass.
+
+    ``values`` is the concatenation of all series; ``starts`` marks each
+    series' first index (starts[0] == 0). Bit-identical per series to
+    encode_values — the XOR chain just resets at every start."""
+    v = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    n = v.size
+    if n == 0:
+        return []
+    xor = np.empty(n, dtype=np.uint64)
+    xor[0] = v[0]
+    xor[1:] = v[1:] ^ v[:-1]
+    xor[starts] = v[starts]  # chain reset per series
+
+    lead = np.minimum(_clz64(xor), 31)
+    mlen = 64 - lead - _ctz64(xor)
+    mlen = np.maximum(mlen, 1)
+    meaningful = xor >> (_U64(64) - lead.astype(np.uint64) - mlen.astype(np.uint64))
+
+    zero = xor == 0
+    width = np.where(zero, 1, 1 + 5 + 6 + mlen)
+    header = (
+        _U64(1) << _U64(11)
+    ) | (lead.astype(np.uint64) << _U64(6)) | (mlen.astype(np.uint64) & _U64(63))
+    code = np.where(zero, _U64(0), header)
+    lo = np.where(zero, _U64(0), (code << mlen.astype(np.uint64)) | meaningful)
+    hi = np.where(
+        zero, _U64(0), np.where(mlen + 12 > 64, code >> (_U64(64) - mlen.astype(np.uint64)), _U64(0))
+    )
+    width[starts] = 64
+    lo[starts] = v[starts]
+    hi[starts] = 0
+    lens = np.diff(np.append(starts, n)).astype(np.uint32)
+    payloads = _pack_spans(hi, lo, width, starts)
+    return [ln.tobytes() + p for ln, p in zip(lens, payloads)]
+
+
+def encode_timestamps_multi(ts: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Delta-of-delta encode many series in one vectorized pass; per-series
+    bit-identical to encode_timestamps."""
+    t = np.ascontiguousarray(ts, dtype=np.int64)
+    n = t.size
+    if n == 0:
+        return []
+    lens = np.diff(np.append(starts, n))
+    raw = t.view(np.uint64)
+    is_start = np.zeros(n, dtype=bool)
+    is_start[starts] = True
+    second = np.zeros(n, dtype=bool)
+    second[starts[lens >= 2] + 1] = True
+
+    delta = np.zeros(n, dtype=np.int64)
+    delta[1:] = t[1:] - t[:-1]
+    dod = np.zeros(n, dtype=np.int64)
+    dod[2:] = delta[2:] - delta[1:-1]
+    z = _zigzag(dod)
+
+    width = np.empty(n, dtype=np.int64)
+    lo = np.empty(n, dtype=np.uint64)
+    hi = np.zeros(n, dtype=np.uint64)
+    zero = dod == 0
+    b7 = (~zero) & (z < (1 << 7))
+    b12 = (~zero) & (~b7) & (z < (1 << 12))
+    b20 = (~zero) & (~b7) & (~b12) & (z < (1 << 20))
+    b64 = (~zero) & (~b7) & (~b12) & (~b20)
+    width[zero] = 1
+    lo[zero] = 0
+    width[b7] = 2 + 7
+    lo[b7] = (_U64(0b10) << _U64(7)) | z[b7]
+    width[b12] = 3 + 12
+    lo[b12] = (_U64(0b110) << _U64(12)) | z[b12]
+    width[b20] = 4 + 20
+    lo[b20] = (_U64(0b1110) << _U64(20)) | z[b20]
+    width[b64] = 4 + 64
+    lo[b64] = z[b64]
+    hi[b64] = _U64(0b1111)
+    # first two codes of each series are raw 64-bit (ts, then first delta)
+    width[is_start] = 64
+    lo[is_start] = raw[is_start]
+    hi[is_start] = 0
+    width[second] = 64
+    lo[second] = delta[second].view(np.uint64)
+    hi[second] = 0
+
+    payloads = _pack_spans(hi, lo, width, starts)
+    return [np.uint32(ln).tobytes() + p for ln, p in zip(lens, payloads)]
+
+
 def _read_tables(payload: bytes) -> tuple[list[int], np.ndarray]:
     """Fast-read helpers over a packed bit stream.
 
