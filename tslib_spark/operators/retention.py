@@ -35,10 +35,22 @@ PART_TRUNC = {"minute": "day", "hour": "day", "day": "week", "week": "week"}
 
 
 class TierStore:
-    def __init__(self, spark: SparkSession, root: str, keys: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keys: list[str],
+        compressed_tiers: frozenset[str] | set[str] = frozenset(),
+    ):
+        """``compressed_tiers``: tiers stored as Gorilla state chunks
+        (codec/statechunks.py — the north star's compressed minute tier)
+        instead of raw state rows. Reads decode transparently; the parity
+        gate and checksums run on the decoded read-back, so compression
+        sits INSIDE the bit-exactness contract, not beside it."""
         self.spark = spark
         self.root = Path(root)
         self.keys = keys
+        self.compressed_tiers = set(compressed_tiers)
         self.checkpoint = CheckpointStore(str(self.root / "checkpoint.parquet"))
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # keep part_key a string on read-back (inference would parse it as a
@@ -50,7 +62,12 @@ class TierStore:
         return str(self.root / "tiers" / tier)
 
     def read_tier(self, tier: str) -> DataFrame:
-        return self.spark.read.parquet(self.tier_path(tier)).drop("part_key")
+        raw = self.spark.read.parquet(self.tier_path(tier)).drop("part_key")
+        if tier in self.compressed_tiers:
+            from tslib_spark.codec.statechunks import decode_state_chunks
+
+            return decode_state_chunks(raw, self.keys)
+        return raw
 
     # ---------------- checksums ----------------
     def _with_part_key(self, df: DataFrame, tier: str) -> DataFrame:
@@ -98,16 +115,46 @@ class TierStore:
         if not missing:
             return []
         todo = with_pk.filter(F.col("part_key").isin(missing))
+        if tier in self.compressed_tiers:
+            from tslib_spark.codec.statechunks import encode_state_chunks
+
+            # chunk windows align to the partition granularity (day: 1440
+            # from epoch; week: 10080 shifted to Monday starts — the epoch
+            # was a Thursday), so each chunk falls in exactly one part_key
+            window_minutes = 1440 if PART_TRUNC[tier] == "day" else 10080
+            offset = 0 if PART_TRUNC[tier] == "day" else 4320
+            enc = encode_state_chunks(
+                todo.drop("part_key"), self.keys,
+                window_minutes=window_minutes, window_offset_minutes=offset,
+            )
+            out = enc.withColumn(
+                "part_key",
+                F.date_format(
+                    F.date_trunc(PART_TRUNC[tier], F.timestamp_seconds(F.col("ts_start") * 60)),
+                    "yyyy-MM-dd",
+                ),
+            )
+        else:
+            out = todo
         (
-            todo.repartition(F.col("part_key"), *[F.col(k) for k in self.keys])
+            out.repartition(F.col("part_key"), *[F.col(k) for k in self.keys])
             .write.mode("overwrite")
             .partitionBy("part_key")
             .parquet(self.tier_path(tier))
         )
-        # checksum what actually landed, then record lineage
-        landed = self.spark.read.parquet(self.tier_path(tier)).filter(
+        # checksum what actually landed (decoded read-back for compressed
+        # tiers — the checksum certifies the decodable bytes on disk)
+        landed_raw = self.spark.read.parquet(self.tier_path(tier)).filter(
             F.col("part_key").isin(missing)
         )
+        if tier in self.compressed_tiers:
+            from tslib_spark.codec.statechunks import decode_state_chunks
+
+            landed = self._with_part_key(
+                decode_state_chunks(landed_raw.drop("part_key"), self.keys), tier
+            )
+        else:
+            landed = landed_raw
         sums = self._partition_checksums(landed)
         self.checkpoint.mark_many(
             [
