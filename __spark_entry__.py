@@ -471,6 +471,21 @@ def _q_simhash(spark, sf_dir):
     return simhash(docs.select("doc_id", "text"), "text").select("doc_id", "simhash")
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF (coarse-quantizer) ANN: nearest-centroid cells of a seeded
+    k-means quantizer are probed with exact cosine. Deterministic: the
+    training sample is vec_id-ordered, so the frozen oracle replicates it
+    (fixtures/ivf_topk_sf001.parquet)."""
+    from tslib_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cent = train_ivf_centroids(
+        emb.orderBy("vec_id"), "embedding", n_centroids=16, sample=2000, seed=42
+    )
+    return ivf_topk(emb, "embedding", "vec_id", [float(x) for x in query], cent, k=10, nprobe=4)
+
+
 def _q_ann_lsh(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -513,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_signatures": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -756,6 +772,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": """
             SELECT vec_id, cosine
             FROM read_parquet('/root/repo/fixtures/ann_lsh_topk_sf001.parquet')
+        """,
+        "ivf_topk": """
+            SELECT vec_id, cosine
+            FROM read_parquet('/root/repo/fixtures/ivf_topk_sf001.parquet')
         """,
         # factors computed EXACTLY as harmonics_df computes its literals
         # (p * 2.0 * math.pi / T in Python float64), so only sin/cos ulp

@@ -198,6 +198,34 @@ def freeze_ann_lsh(emb: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows[:k], columns=["vec_id", "cosine"])
 
 
+def freeze_ivf(emb: pd.DataFrame) -> pd.DataFrame:
+    """Replicates _q_ivf_topk: centroids from the vec_id-ordered 2000-row
+    sample via the SAME lloyd_centroids core, numpy argmax assignment
+    (bit-identical to the pandas_udf's matmul), JVM-ordered cosines."""
+    from tslib_spark.operators.similarity import lloyd_centroids
+
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.array([[float(x) for x in v] for v in emb["embedding"]], dtype=np.float64)
+    cent = lloyd_centroids(X[:2000], n_centroids=16, seed=42)
+
+    query = [float(x) for x in emb.loc[emb["vec_id"] == 0, "embedding"].iloc[0]]
+    qv = np.asarray(query, dtype=np.float64)
+    qn_unit = qv / max(np.linalg.norm(qv), 1e-12)
+    probes = set(np.argsort(-(cent @ qn_unit))[:4].tolist())
+
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(Xn @ cent.T, axis=1)
+    qn = float(np.sqrt(np.dot(query, query)))
+    rows = []
+    for i in range(len(emb)):
+        if int(assign[i]) in probes:
+            vd = [float(x) for x in X[i]]
+            cos = _seq_dot(vd, query) / (float(np.sqrt(_seq_dot(vd, vd))) * qn)
+            rows.append((int(emb["vec_id"].iloc[i]), cos))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(rows[:10], columns=["vec_id", "cosine"])
+
+
 def main() -> None:
     import os
 
@@ -207,6 +235,7 @@ def main() -> None:
     emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
     outputs = {
         "ann_lsh_topk": freeze_ann_lsh(emb),
+        "ivf_topk": freeze_ivf(emb),
         "svd_impute": freeze_svd(events),
         "als_impute": freeze_als(events),
         "svd_forecast": freeze_svd_forecast(events),

@@ -206,3 +206,24 @@ def test_frame_sample_plan(spark):
     frames = frame_sample(df, every_ms=1000).toPandas()
     assert frames[frames["media_id"] == 1]["frame_ms"].tolist() == [0, 1000, 2000, 3000]
     assert (frames["media_id"] != 2).all()
+
+
+def test_ivf_topk_recall(spark):
+    """IVF (coarse-quantizer) ANN: recall@10 ≥ 0.9 vs numpy ground truth on
+    a clustered fixture, probing a fraction of the cells."""
+    from tslib_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    rng = np.random.default_rng(77)
+    dim, n = 32, 3000
+    centers = rng.normal(size=(10, dim)) * 3
+    vecs = centers[rng.integers(0, 10, n)] + rng.normal(0, 0.4, (n, dim))
+    q = centers[3] + rng.normal(0, 0.1, dim)
+    cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    truth = set(np.lexsort((np.arange(n), -cos))[:10].tolist())
+
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    cent = train_ivf_centroids(df, "embedding", n_centroids=20, seed=5)
+    got = ivf_topk(df, "embedding", "vec_id", q.tolist(), cent, k=10, nprobe=4).toPandas()
+    recall = len(set(got["vec_id"]) & truth) / 10
+    assert recall >= 0.9, f"IVF recall@10 = {recall}"

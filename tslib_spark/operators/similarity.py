@@ -19,6 +19,7 @@ buckets as the candidate generator.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -148,6 +149,85 @@ def cosine_near_dup_pairs(
         (_dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n"))).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def train_ivf_centroids(
+    df: DataFrame, vec_col: str, n_centroids: int = 64, sample: int = 10_000,
+    iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a bounded driver-side sample.
+
+    The sample cap keeps the driver pull O(sample × dim) regardless of
+    table size (centroid quality needs a sample, not the corpus); Lloyd
+    runs in numpy with a fixed seed so every executor sees identical
+    centroids. Returns (n_centroids, dim), L2-normalized so nearest-by-
+    dot-product == nearest-by-cosine."""
+    pdf = df.select(F.col(vec_col).cast("array<double>").alias("v")).limit(sample).toPandas()
+    X = np.array(pdf["v"].tolist(), dtype=np.float64)
+    return lloyd_centroids(X, n_centroids, iters, seed)
+
+
+def lloyd_centroids(X: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Seeded spherical k-means core (shared by the Spark trainer and the
+    frozen-oracle script so both derive identical centroids)."""
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)  # cosine on normalized rows
+        for j in range(cent.shape[0]):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray, out_col: str = "_ivf"):
+    """Nearest-centroid assignment as a vectorized Arrow kernel.
+
+    One (batch × dim) @ (dim × C) matmul per Arrow batch — the argmin over
+    C dot products is expressible with higher-order column functions but
+    runs O(C·dim) interpreted per row there; the numpy form is the
+    documented fast path for this shape (SURVEY §2.11)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(X @ cent.T, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN: exact cosine top-k restricted to the ``nprobe`` centroid
+    cells nearest the query. At 10^9 vectors the cell filter is a
+    partition-prunable predicate on a materialized assignment column —
+    scan ~nprobe/C of the corpus instead of all of it."""
+    qv = np.asarray(query, dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    order = np.argsort(-(centroids @ qn))
+    probes = [int(j) for j in order[:nprobe]]
+    assigned = ivf_assign(df, vec_col, centroids)
+    cand = assigned.filter(F.col("_ivf").isin(probes))
+    vec = F.col(vec_col).cast("array<double>")
+    return (
+        cand.select(F.col(id_col), cosine_to_query(vec, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
 
 
 def pairwise_topk_per_row(
