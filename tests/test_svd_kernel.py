@@ -20,6 +20,7 @@ from tslib_spark.kernels.svd_kernel import (
     fit_transform,
     forecast,
     forecast_sql,
+    forecast_sql_multi,
 )
 
 
@@ -264,6 +265,26 @@ def test_multi_ts_parity(spark, fx_multi):
     )
     np.testing.assert_allclose(got["forecast"].to_numpy(), oracle_preds, atol=1e-6)
     assert linalg.rmse(got["forecast"].to_numpy(), fx["mean_test"]) < 0.25
+
+    # pure-SQL donor path agrees with the kernel path (no Python at all)
+    from pyspark.sql import functions as F
+
+    from tslib_spark.kernels.svd_kernel import forecast_sql_multi
+
+    weights_df = (
+        fit.filter("kind='weight'")
+        .groupBy("group_id")
+        .agg(F.sort_array(F.collect_list(F.struct("idx", "value"))).alias("w"))
+        .select("group_id", F.col("w.value").alias("weights"))
+    )
+    got_sql = (
+        forecast_sql_multi(actuals, weights_df, cfg, train_end_idx=train_pts)
+        .toPandas()
+        .sort_values("idx")
+    )
+    np.testing.assert_allclose(
+        got_sql["forecast"].to_numpy(), got["forecast"].to_numpy(), atol=1e-9
+    )
 
 
 def test_multiple_groups_parallel(spark, fx_single):

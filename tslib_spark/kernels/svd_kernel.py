@@ -247,3 +247,71 @@ def forecast_sql(
         F.col("bucket_idx").alias("idx"),
         dot.alias("forecast"),
     )
+
+
+def forecast_sql_multi(
+    actuals: DataFrame,
+    weights_df: DataFrame,
+    cfg: ModelConfig,
+    train_end_idx: int,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Donor forecast as pure JVM SQL — removes Python from wide-horizon
+    multi-series forecasting (the kernel path's semantics, relationally).
+
+    Per (group, series) running windows build the lag arrays (donors may
+    include the current point when ``include_past_only`` is False, exactly
+    the reference's predict() design); one groupBy per (group, bucket)
+    flattens them donor-major + target-last into the regression vector,
+    and the dot against the broadcast weights is aggregate(zip_with(...))
+    — whole-stage codegen end to end. NaN gaps middle-fill from the
+    group's global (max+min)/2, matching the kernel (linalg.middle_value).
+    """
+    N = cfg.N
+    order = [*cfg.donor_keys, cfg.target_key]
+    order_arr = F.array(*[F.lit(s) for s in order])
+    is_target = F.col("series_key") == F.lit(cfg.target_key)
+
+    gw = Window.partitionBy(group_col)
+    # NaN-aware global middle: max/min over non-NaN values only (Spark's
+    # max would otherwise rank NaN above every number)
+    not_nan = F.when(~F.isnan(F.col("value")), F.col("value"))
+    mid = (F.max(not_nan).over(gw) + F.min(not_nan).over(gw)) / 2.0
+    filled = actuals.withColumn(
+        "value",
+        F.when(F.col("value").isNull() | F.isnan("value"), mid).otherwise(F.col("value")),
+    )
+
+    sw = Window.partitionBy(group_col, "series_key").orderBy("bucket_idx")
+    past = sw.rowsBetween(-(N - 1), -1)
+    incl = sw.rowsBetween(-(N - 1), 0)
+    donor_frame = past if cfg.include_past_only else incl
+    lagged = filled.withColumn(
+        "lags",
+        F.when(is_target, F.collect_list("value").over(past)).otherwise(
+            F.collect_list("value").over(donor_frame)
+        ),
+    ).withColumn("ord", F.array_position(order_arr, F.col("series_key")))
+
+    need_t = N - 1
+    need_d = N - 1 if cfg.include_past_only else N
+    test = lagged.filter(F.col("bucket_idx") >= F.lit(train_end_idx)).filter(
+        F.size("lags") == F.when(is_target, F.lit(need_t)).otherwise(F.lit(need_d))
+    )
+    vec = (
+        test.groupBy(group_col, "bucket_idx")
+        .agg(F.array_sort(F.collect_list(F.struct("ord", "lags"))).alias("parts"))
+        .withColumn("x", F.flatten(F.col("parts.lags")))
+        .filter(F.size("x") == len(cfg.donor_keys) * need_d + need_t)
+    )
+    joined = vec.join(F.broadcast(weights_df), group_col)
+    dot = F.aggregate(
+        F.zip_with("x", "weights", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return joined.select(
+        F.col(group_col).alias("group_id"),
+        F.col("bucket_idx").alias("idx"),
+        dot.alias("forecast"),
+    )
