@@ -140,3 +140,36 @@ def test_chunk_table_roundtrip(spark):
     want = pdf.sort_values(["series_key", "bucket_idx"]).reset_index(drop=True)
     np.testing.assert_array_equal(got["bucket_idx"].to_numpy(), want["bucket_idx"].to_numpy())
     np.testing.assert_array_equal(got["value"].to_numpy(), want["value"].to_numpy())
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(allow_nan=True, allow_infinity=True, width=64), min_size=1, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_multi_encode_matches_single_property(series_list):
+    """encode_*_multi must be per-series bit-identical to the single-series
+    encoders for arbitrary series batches (chain resets at every start)."""
+    from tslib_spark.codec.gorilla import (
+        encode_timestamps,
+        encode_timestamps_multi,
+        encode_values,
+        encode_values_multi,
+    )
+
+    vals = [np.asarray(s, dtype=np.float64) for s in series_list]
+    tss = [
+        np.cumsum(np.abs(np.nan_to_num(v, posinf=3.0, neginf=-3.0)) * 100 + 1).astype(np.int64)
+        for v in vals
+    ]
+    starts = np.cumsum([0] + [len(v) for v in vals[:-1]]).astype(np.int64)
+    mv = encode_values_multi(np.concatenate(vals), starts)
+    mt = encode_timestamps_multi(np.concatenate(tss), starts)
+    for i, (v, t) in enumerate(zip(vals, tss)):
+        assert mv[i] == encode_values(v)
+        assert mt[i] == encode_timestamps(t)

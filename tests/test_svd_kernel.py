@@ -305,3 +305,49 @@ def test_multiple_groups_parallel(spark, fx_single):
     first = out.filter("group_id='g0'").orderBy("idx").toPandas()["value"].to_numpy()
     last = out.filter("group_id='g3'").orderBy("idx").toPandas()["value"].to_numpy()
     np.testing.assert_array_equal(first, last)
+
+
+def test_forecast_sql_multi_include_current(spark, fx_multi):
+    """include_past_only=False: donor windows include the current point
+    (the reference's predict() when donors are observed at forecast time).
+    SQL path == kernel path with identical synthetic weights."""
+    fx = fx_multi
+    N, M1 = fx["N"], fx["M1"]
+    donors = ["t2", "t3"]
+    cfg = ModelConfig(
+        target_key="t1", N=N, M=M1, k=fx["k"], donor_keys=tuple(donors),
+        include_past_only=False,
+    )
+    train_pts = N * M1
+    full = {
+        key: np.concatenate([fx["series_train"][key], fx["series_test"][key]])
+        for key in ["t1", "t2", "t3"]
+    }
+    actuals = spark.createDataFrame(tidy_pdf(full))
+    n_w = len(donors) * N + (N - 1)
+    wvec = (np.arange(n_w, dtype=np.float64) % 5 - 2) / 10.0
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from tslib_spark.kernels.svd_kernel import forecast, forecast_sql_multi
+
+    state = spark.createDataFrame(
+        pd.DataFrame({"group_id": "g0", "kind": "weight", "series_key": "t1",
+                      "idx": range(n_w), "value": wvec})
+    )
+    got_kernel = (
+        forecast(actuals, state, cfg, train_end_idx=train_pts).toPandas().sort_values("idx")
+    )
+    weights_df = spark.createDataFrame(
+        pd.DataFrame({"group_id": ["g0"], "weights": [wvec.tolist()]})
+    )
+    got_sql = (
+        forecast_sql_multi(actuals, weights_df, cfg, train_end_idx=train_pts)
+        .toPandas()
+        .sort_values("idx")
+    )
+    assert len(got_sql) == len(got_kernel) > 0
+    np.testing.assert_allclose(
+        got_sql["forecast"].to_numpy(), got_kernel["forecast"].to_numpy(), atol=1e-9
+    )
