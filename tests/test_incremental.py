@@ -150,3 +150,51 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert len(m) == len(got)
     assert (m["cnt_s"] == m["cnt_b"]).all()
     assert (m["val_sum_s"].astype(float) == m["val_sum_b"].astype(float)).all()
+
+
+def test_stream_update_svd_matches_sequential_batch(spark, tmp_path, low_rank_series):
+    """readStream → foreachBatch updateSVD: streaming two block files in
+    arrival order produces exactly the state of two sequential batch
+    updates (atomic swap leaves a valid state at every commit point)."""
+    import time as _time
+
+    from tslib_spark.streaming.model_stream import stream_update_svd
+
+    N, M_total, mat = low_rank_series
+    M0 = 36
+    cfg = ModelConfig(target_key="t1", N=N, M=M0, k=3)
+    base = mat[:, :M0].flatten("F")
+    blocks = [mat[:, M0 + i : M0 + i + 2].flatten("F") for i in range(0, 4, 2)]
+
+    state_dir = str(tmp_path / "model_state")
+    fit_state(spark.createDataFrame(tidy(base)), cfg).write.parquet(state_dir)
+
+    src = str(tmp_path / "blocks")
+    schema = "group_id string, bucket_idx long, value double"
+    start = N * M0
+    for i, blk in enumerate(blocks):
+        pdf = tidy(blk, start_idx=start + i * len(blk))[["group_id", "bucket_idx", "value"]]
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    q = stream_update_svd(
+        spark, src, schema, state_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert got["times_updated"] == 2
+
+    # oracle: the same two updates applied sequentially in batch
+    s = fit_state(spark.createDataFrame(tidy(base)), cfg)
+    for i, blk in enumerate(blocks):
+        nd = spark.createDataFrame(
+            tidy(blk, start_idx=start + i * len(blk))[["group_id", "bucket_idx", "value"]]
+        )
+        s = update_state(s, nd)
+    want = s.toPandas().iloc[0]
+    assert want["times_updated"] == 2
+    np.testing.assert_allclose(got["weights"], want["weights"], atol=1e-12)
+    np.testing.assert_allclose(got["last_row"], want["last_row"], atol=0)
+    np.testing.assert_allclose(got["sk"], want["sk"], atol=1e-12)
