@@ -191,9 +191,10 @@ def codec_bench(spark) -> dict[str, float]:
 def contract_queries(spark, sf_dir: str) -> dict[str, float]:
     names = [
         "rollup_minute", "downsample_hour", "downsample_week", "gapfill_interp",
-        "sessionize", "topk_users", "tpch_q1ish", "join_filter_project",
-        "dedup_exact", "token_stats", "minhash_near_dup", "simhash_signatures",
-        "ann_cosine_topk", "svd_impute", "svd_forecast",
+        "rmse_hidden", "sessionize", "topk_users", "tpch_q1ish",
+        "join_filter_project", "dedup_exact", "token_stats", "minhash_near_dup",
+        "simhash_signatures", "ann_cosine_topk", "ivf_topk", "gorilla_roundtrip",
+        "svd_impute", "svd_forecast",
     ]
     qs = entrymod.queries()
     out = {}

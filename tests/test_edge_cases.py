@@ -1,0 +1,100 @@
+"""Empty-input and all-NULL edge cases across the operator surface —
+the degenerate shapes a 100 TB pipeline hits on fresh partitions, empty
+crawl windows, and fully-masked series."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from tslib_spark.codec.chunks import decode_chunks, encode_chunks
+from tslib_spark.operators.downsample import tier_chain
+from tslib_spark.operators.gapfill import densify_grid, interpolate_linear, middle_fill
+from tslib_spark.operators.rollup import rollup
+
+EVENTS_SCHEMA = "event_type string, ts timestamp, value double"
+
+
+def test_rollup_and_tier_chain_on_empty(spark):
+    empty = spark.createDataFrame([], EVENTS_SCHEMA)
+    minute = rollup(empty, ["event_type"], "ts", "value", "minute")
+    assert minute.count() == 0
+    tiers = tier_chain(minute, ["event_type"])
+    assert all(df.count() == 0 for df in tiers.values())
+
+
+def test_gapfill_all_null_series(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 5, "bucket_idx": range(5), "value": [None] * 5}),
+        "k string, bucket_idx long, value double",
+    )
+    # middle fill with no observations: value stays NULL (max+min undefined)
+    mf = middle_fill(df, ["k"], "value").toPandas()
+    assert mf["value"].isna().all()
+    # interpolation with no observations: stays NULL, no crash
+    li = interpolate_linear(df, ["k"], "bucket_idx", "value").toPandas()
+    assert li["value"].isna().all()
+
+
+def test_densify_empty_and_single_point(spark):
+    one = spark.createDataFrame(
+        [("a", pd.Timestamp("2024-01-01 00:00:00").to_pydatetime(), 1.0)],
+        "k string, bucket_ts timestamp, v double",
+    )
+    out = densify_grid(one, ["k"], "bucket_ts", step="1 hour").toPandas()
+    assert len(out) == 1  # min == max → single grid point
+
+    empty = spark.createDataFrame([], "k string, bucket_ts timestamp, v double")
+    assert densify_grid(empty, ["k"], "bucket_ts", step="1 hour").count() == 0
+
+
+def test_encode_decode_empty_and_singletons(spark):
+    empty = spark.createDataFrame([], "k string, bucket_idx long, value double")
+    chunks = encode_chunks(empty, ["k"])
+    assert chunks.count() == 0
+    assert decode_chunks(chunks, ["k"]).count() == 0
+
+    # many singleton series (1 point each) — the degenerate chunk shape
+    pdf = pd.DataFrame(
+        {"k": [f"s{i}" for i in range(50)], "bucket_idx": range(50), "value": np.arange(50.0)}
+    )
+    df = spark.createDataFrame(pdf)
+    back = decode_chunks(encode_chunks(df, ["k"]), ["k"]).toPandas()
+    got = back.sort_values("k").reset_index(drop=True)
+    want = pdf.sort_values("k").reset_index(drop=True)
+    assert (got["value"].to_numpy() == want["value"].to_numpy()).all()
+
+
+def test_cosine_near_dup_recall(spark):
+    """Quantified recall for the LSH-bucketed cosine near-dup pairs: ≥0.9
+    of planted ≥-threshold pairs are found (single-hash-table recall on
+    near-identical vectors is high because angle ≈ 0)."""
+    from tslib_spark.operators.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    dim, n_planted = 24, 30
+    vecs, truth = [], set()
+    vid = 0
+    for _ in range(n_planted):
+        base = rng.normal(size=dim)
+        a, b = vid, vid + 1
+        vecs.append(base)
+        vecs.append(base + rng.normal(0, 0.02, dim))
+        truth.add((a, b))
+        vid += 2
+    for _ in range(300):  # background noise vectors
+        vecs.append(rng.normal(size=dim))
+        vid += 1
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    pairs = cosine_near_dup_pairs(
+        spark.createDataFrame(pdf), "embedding", "vec_id", dim=dim,
+        threshold=0.99, n_planes=8,
+    ).toPandas()
+    found = {tuple(sorted((int(a), int(b)))) for a, b in pairs[["id_a", "id_b"]].to_numpy()}
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"near-dup recall = {recall}"
+    # and no false positives below the threshold
+    assert (pairs["cosine"] >= 0.99).all()
