@@ -191,3 +191,29 @@ def test_compressed_minute_tier_store(spark, store_root, minute_source):
     # idempotent rerun: nothing rematerializes
     again = store.materialize_chain(minute_source)
     assert all(len(v) == 0 for v in again.values())
+
+
+def test_range_read_prunes_partitions_and_chunks(spark, store_root, minute_source):
+    """read_tier(start, end) must equal the full read filtered, for both
+    raw and compressed tiers, and the physical plan must show part_key
+    partition pruning (directories outside the range never scanned)."""
+    import pandas as pd
+
+    store = TierStore(spark, store_root, KEYS, compressed_tiers={"minute"})
+    store.materialize_chain(minute_source)
+    lo, hi = pd.Timestamp("2024-01-05"), pd.Timestamp("2024-01-09")
+
+    for tier in ("minute", "hour"):
+        ranged = store.read_tier(tier, start_ts=lo, end_ts=hi)
+        full = store.read_tier(tier).filter(
+            (F.col("bucket_ts") >= F.lit(lo)) & (F.col("bucket_ts") < F.lit(hi))
+        )
+        assert tier_state_checksum(ranged, KEYS) == tier_state_checksum(full, KEYS)
+        assert ranged.count() > 0
+
+    # partition pruning visible in the plan: the scan lists part_key filters
+    plan = (
+        store.read_tier("hour", start_ts=lo, end_ts=hi)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "part_key" in plan

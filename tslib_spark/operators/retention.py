@@ -61,13 +61,50 @@ class TierStore:
     def tier_path(self, tier: str) -> str:
         return str(self.root / "tiers" / tier)
 
-    def read_tier(self, tier: str) -> DataFrame:
-        raw = self.spark.read.parquet(self.tier_path(tier)).drop("part_key")
+    def read_tier(self, tier: str, start_ts=None, end_ts=None) -> DataFrame:
+        """Read a tier, optionally restricted to [start_ts, end_ts).
+
+        Range reads prune at three levels — the point of the layout:
+        1. partition pruning on ``part_key`` (directories never listed);
+        2. for compressed tiers, CHUNK pruning on ``ts_start`` before any
+           decode (a chunk spans at most its partition's time range, so
+           chunks starting at/after ``end_ts`` or a full partition-span
+           before ``start_ts`` can't contain in-range points);
+        3. an exact row filter on the decoded/raw ``bucket_ts``.
+        At 100 TB a day's read touches one part_key directory and decodes
+        only that day's chunks, not the corpus.
+        """
+        import pandas as pd
+
+        raw = self.spark.read.parquet(self.tier_path(tier))
+        span_days = {"day": 1, "week": 7}[PART_TRUNC[tier]]
+        if start_ts is not None:
+            pk_lo = (
+                pd.Timestamp(start_ts) - pd.Timedelta(days=span_days)
+            ).strftime("%Y-%m-%d")
+            raw = raw.filter(F.col("part_key") > pk_lo)
+        if end_ts is not None:
+            raw = raw.filter(F.col("part_key") <= pd.Timestamp(end_ts).strftime("%Y-%m-%d"))
+        raw = raw.drop("part_key")
+
         if tier in self.compressed_tiers:
             from tslib_spark.codec.statechunks import decode_state_chunks
 
-            return decode_state_chunks(raw, self.keys)
-        return raw
+            if start_ts is not None:
+                lo_min = int(pd.Timestamp(start_ts).timestamp() // 60) - span_days * 1440
+                raw = raw.filter(F.col("ts_start") > lo_min)
+            if end_ts is not None:
+                raw = raw.filter(
+                    F.col("ts_start") < int(pd.Timestamp(end_ts).timestamp() // 60)
+                )
+            out = decode_state_chunks(raw, self.keys)
+        else:
+            out = raw
+        if start_ts is not None:
+            out = out.filter(F.col("bucket_ts") >= F.lit(pd.Timestamp(start_ts)))
+        if end_ts is not None:
+            out = out.filter(F.col("bucket_ts") < F.lit(pd.Timestamp(end_ts)))
+        return out
 
     # ---------------- checksums ----------------
     def _with_part_key(self, df: DataFrame, tier: str) -> DataFrame:
