@@ -28,6 +28,8 @@ from tslib_spark.codec.gorilla import (
     encode_values_multi,
 )
 
+ORDINAL_BITS = 20  # low bits of chunk_id reserved for the spill ordinal
+
 
 def encode_chunks(
     df: DataFrame,
@@ -52,9 +54,11 @@ def encode_chunks(
     where ``window = floor(ts / chunk_size)`` — explicit skew salting by
     time range, per the north rule. A head series splits into one bounded
     chunk per window spread across tasks; short series still amortize the
-    Python crossing through shared buckets. chunk_id = window (globally
-    time-ordered; the rare window holding > chunk_size duplicate-ts points
-    spills into window*2^20 + i ordinals).
+    Python crossing through shared buckets. chunk_id = (window << 20) |
+    ordinal (globally time-ordered; the ordinal occupies dedicated low bits
+    on EVERY id — usually 0, >0 only for the rare window holding >
+    chunk_size duplicate-ts points — so spill ids can never alias another
+    window's id; encode validates |window| < 2^43 and ordinal < 2^20).
 
     ``sid = xxhash64(keys)``: the shuffle and the Arrow crossing carry an
     8-byte series id instead of repeating the key strings per row (~3×
@@ -110,7 +114,27 @@ def encode_chunks(
         ordinal = np.arange(starts.size) - np.maximum.accumulate(
             np.where(first_of_group, np.arange(starts.size), -1)
         )
-        chunk_ids = np.where(ordinal == 0, wins, wins * (1 << 20) + ordinal)
+        # chunk_id = (window << ORDINAL_BITS) | ordinal — UNCONDITIONALLY, so
+        # ids stay globally time-ordered and spill ids can never collide with
+        # a plain window id (win*2^20 + i == some other window). Validated,
+        # not assumed: out-of-range windows (e.g. nanosecond tick units) or
+        # pathological spill counts must fail fast, not alias.
+        if ordinal.size and int(ordinal.max()) >= 1 << ORDINAL_BITS:
+            raise ValueError(
+                f"chunk spill ordinal >= 2^{ORDINAL_BITS} in one (series, window) "
+                "— too many duplicate-timestamp points; raise chunk_size or "
+                "pre-aggregate duplicates"
+            )
+        if wins.size and not (
+            -(1 << (63 - ORDINAL_BITS)) <= int(wins.min())
+            and int(wins.max()) < 1 << (63 - ORDINAL_BITS)
+        ):
+            raise ValueError(
+                f"window index |win| >= 2^{63 - ORDINAL_BITS} would overflow "
+                "chunk_id — timestamp tick unit too fine for this chunk_size; "
+                "use coarser ticks or a larger chunk_size"
+            )
+        chunk_ids = (wins << ORDINAL_BITS) | ordinal
         out = pd.DataFrame({"_sid": pdf["_sid"].to_numpy()[starts]})
         out["chunk_id"] = chunk_ids.astype(np.int64)
         out["n_points"] = lens.astype(np.int32)

@@ -1,8 +1,9 @@
 """Gorilla-style codec: XOR float compression + delta-of-delta timestamps.
 
-Pure numpy, vectorized bit-packing — no per-value Python on the encode path
-(BASELINE.json input_hint: no per-row Python). The scheme follows the
-Facebook Gorilla paper (Pelkonen et al., VLDB 2015):
+Pure numpy, vectorized bit-packing — no per-value Python on either the
+encode or the decode path (BASELINE.json input_hint: no per-row Python).
+The bit scheme follows the Facebook Gorilla paper (Pelkonen et al., VLDB
+2015):
 
 Values (float64):
 - first value: 64 raw bits
@@ -26,24 +27,33 @@ Timestamps (int64, any unit):
   On a regular 1-minute grid every dod is 0 → ~1 bit/point (documented
   degenerate case per SURVEY §2.12).
 
-Encode vectorization: each code is ≤ 128 bits, carried as (hi, lo) uint64
-pairs with a width; a (n × maxwidth) bit matrix is materialized by shifted
-masking and flattened through the per-row validity mask — ragged
-concatenation without a Python loop — then ``np.packbits``.
+Buffer layout (v2 — decode-index sidecar):
 
-Decode vectorization: variable-length prefix codes make code *positions*
-inherently serial, but only the positions. Decode is two passes:
+    [hdr: uint32] [sidecar?] [payload bits]
 
-1. a position scan — a tight pure-Python-int loop (no numpy scalars) that
-   reads each ≤12-bit control/header via a precomputed 32-bit sliding
-   window and records (payload offset, payload width) per point;
-2. a fully vectorized numpy pass — 9-byte gathers extract every payload
-   at once, then ``np.bitwise_xor.accumulate`` (values) / double
-   ``np.cumsum`` (delta-of-delta timestamps) reconstruct the series.
+``hdr`` packs the point count in the low 31 bits and a ``has_sidecar``
+flag in the top bit. Variable-length prefix codes make code *positions*
+serial to recover from the payload alone; since the encoder already knows
+every code width, it emits them as a sidecar so decode is 100% numpy:
 
-Pass 1 costs ~5 int ops/point; pass 2 is O(n) numpy. Both run inside
-Arrow kernels over bounded chunks (≤ CHUNK_SIZE points), so Python-level
-work is per point *in a chunk*, never per DataFrame row.
+- values sidecar: a bitmap over points 1..n-1 (bit = xor != 0, i.e. the
+  code is a 12+mlen-bit header code rather than the 1-bit repeat code),
+  then a 6-bit (mlen & 63) entry per set bit, MSB-first packed.
+- timestamp sidecar: a bitmap over points 2..n-1 (bit = dod != 0), then a
+  2-bit bucket class (7/12/20/64-bit) entry per set bit.
+
+Degenerate streams — constant values, regular time grids — have an
+all-zero bitmap, so the encoder drops the sidecar entirely (flag = 0) and
+the ~1 bit/point cost of those cases is preserved; decode reconstructs
+them arithmetically. Non-degenerate streams pay bitmap (1 bit/point) +
+entries (6 or 2 bits per non-trivial point), a few % of payload size.
+
+Decode is then two fully-vectorized steps: code positions from a cumsum
+of sidecar-derived widths, payloads via 9-byte ``_gather64`` gathers,
+then ``np.bitwise_xor.accumulate`` (values) / double ``np.cumsum``
+(delta-of-delta timestamps). Everything runs inside Arrow kernels over
+bounded chunks (≤ CHUNK_SIZE points); there is no per-point Python loop
+anywhere in the codec.
 """
 
 from __future__ import annotations
@@ -53,85 +63,8 @@ import numpy as np
 CHUNK_SIZE = 4096  # max points per encoded chunk
 
 _U64 = np.uint64
-
-
-def _pack_codes(hi: np.ndarray, lo: np.ndarray, width: np.ndarray) -> bytes:
-    """Concatenate n variable-width codes (≤128 bits each, MSB-first in
-    (hi,lo)) into a packed byte string. Fully vectorized."""
-    n = width.size
-    if n == 0:
-        return b""
-    maxw = int(width.max())
-    j = np.arange(maxw, dtype=np.int64)[None, :]  # bit position within code
-    shift = width[:, None].astype(np.int64) - 1 - j  # bit index from LSB
-    valid = shift >= 0
-    sh = np.where(valid, shift, 0)
-    from_hi = sh >= 64
-    sh_lo = np.where(from_hi, 0, sh).astype(np.uint64)
-    sh_hi = np.where(from_hi, sh - 64, 0).astype(np.uint64)
-    bits = np.where(
-        from_hi,
-        (hi[:, None] >> sh_hi) & _U64(1),
-        (lo[:, None] >> sh_lo) & _U64(1),
-    ).astype(np.uint8)
-    flat = bits[valid]
-    return np.packbits(flat).tobytes()
-
-
-def _clz64(x: np.ndarray) -> np.ndarray:
-    """Count leading zeros of uint64 (vectorized); clz(0) = 64."""
-    out = np.full(x.shape, 64, dtype=np.int64)
-    nz = x != 0
-    # bit_length via float log2 is unsafe at 64 bits; use progressive halving
-    v = x[nz].copy()
-    n = np.zeros(v.shape, dtype=np.int64)
-    for shift_amt in (32, 16, 8, 4, 2, 1):
-        mask = v >> _U64(shift_amt) == 0
-        n[mask] += shift_amt
-        v[~mask] >>= _U64(shift_amt)
-    out[nz] = n
-    return out
-
-
-def _ctz64(x: np.ndarray) -> np.ndarray:
-    """Count trailing zeros of uint64 (vectorized); ctz(0) = 64."""
-    low = (x & (~x + _U64(1)))  # isolate lowest set bit
-    return np.where(x == 0, 64, 63 - _clz64(low))
-
-
-def encode_values(values: np.ndarray) -> bytes:
-    """Gorilla-XOR encode a float64 array (NaN round-trips bit-exactly)."""
-    v = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
-    n = v.size
-    if n == 0:
-        return b""
-    xor = np.empty(n, dtype=np.uint64)
-    xor[0] = v[0]
-    xor[1:] = v[1:] ^ v[:-1]
-
-    lead = np.minimum(_clz64(xor), 31)
-    mlen = 64 - lead - _ctz64(xor)  # meaningful bits (≥1 when xor != 0)
-    mlen = np.maximum(mlen, 1)
-    meaningful = xor >> (_U64(64) - lead.astype(np.uint64) - mlen.astype(np.uint64))
-
-    zero = xor == 0
-    width = np.where(zero, 1, 1 + 5 + 6 + mlen)
-    # header: '1' + lead(5) + (mlen & 63)(6), then meaningful bits
-    header = (
-        _U64(1) << _U64(11)
-    ) | (lead.astype(np.uint64) << _U64(6)) | (mlen.astype(np.uint64) & _U64(63))
-    code = np.where(zero, _U64(0), header)
-    # full code = header(12) followed by mlen meaningful bits → shift left
-    lo = np.where(zero, _U64(0), (code << mlen.astype(np.uint64)) | meaningful)
-    hi = np.where(
-        zero, _U64(0), np.where(mlen + 12 > 64, code >> (_U64(64) - mlen.astype(np.uint64)), _U64(0))
-    )
-    # first value: raw 64 bits
-    width[0] = 64
-    lo[0] = v[0]
-    hi[0] = 0
-    header_bytes = np.uint32(n).tobytes()
-    return header_bytes + _pack_codes(hi, lo, width)
+_FLAG_SIDECAR = np.uint32(1 << 31)
+_N_MASK = (1 << 31) - 1
 
 
 def _pack_spans(
@@ -182,6 +115,88 @@ def _pack_spans(
     ]
 
 
+def _pack_sidecars(
+    include: np.ndarray,
+    flags: np.ndarray,
+    entry_vals: np.ndarray,
+    ebits: int,
+    starts: np.ndarray,
+) -> list[bytes]:
+    """Per-span decode-index sidecars (see module docstring).
+
+    ``include`` masks the points that belong to the bitmap domain (the
+    raw-coded first point(s) of each span are excluded), ``flags`` marks
+    non-trivial codes, ``entry_vals`` carries the per-point entry value
+    (only read where ``flags & include``), ``ebits`` its fixed width.
+    Returns b"" for degenerate spans (all-zero bitmap)."""
+    n = include.size
+    incl_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(include, out=incl_cum[1:])
+    sub_flags = flags[include]
+    sub_bounds = np.append(incl_cum[starts], incl_cum[-1])
+    sel = flags & include
+    sel_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sel, out=sel_cum[1:])
+    ent = entry_vals[sel].astype(np.uint64)
+    ent_bounds = np.append(sel_cum[starts], sel_cum[-1])
+    shifts = np.arange(ebits - 1, -1, -1, dtype=np.uint64)
+    ent_bits = ((ent[:, None] >> shifts) & _U64(1)).astype(np.uint8)
+    out: list[bytes] = []
+    for i in range(starts.size):
+        fb = sub_flags[sub_bounds[i] : sub_bounds[i + 1]]
+        if not fb.any():
+            out.append(b"")
+            continue
+        bm = np.packbits(fb).tobytes()
+        eb = np.packbits(ent_bits[ent_bounds[i] : ent_bounds[i + 1]].ravel()).tobytes()
+        out.append(bm + eb)
+    return out
+
+
+def _hdr(n: int, sidecar: bytes) -> bytes:
+    h = np.uint32(n)
+    if sidecar:
+        h |= _FLAG_SIDECAR
+    return h.tobytes()
+
+
+def encode_values(values: np.ndarray) -> bytes:
+    """Gorilla-XOR encode a float64 array (NaN round-trips bit-exactly)."""
+    arr = np.ascontiguousarray(values, dtype=np.float64)
+    if arr.size == 0:
+        return b""
+    return encode_values_multi(arr, np.zeros(1, dtype=np.int64))[0]
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """Delta-of-delta encode an int64 array (timestamps in any fixed unit)."""
+    arr = np.ascontiguousarray(ts, dtype=np.int64)
+    if arr.size == 0:
+        return np.uint32(0).tobytes()
+    return encode_timestamps_multi(arr, np.zeros(1, dtype=np.int64))[0]
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros of uint64 (vectorized); clz(0) = 64."""
+    out = np.full(x.shape, 64, dtype=np.int64)
+    nz = x != 0
+    # bit_length via float log2 is unsafe at 64 bits; use progressive halving
+    v = x[nz].copy()
+    n = np.zeros(v.shape, dtype=np.int64)
+    for shift_amt in (32, 16, 8, 4, 2, 1):
+        mask = v >> _U64(shift_amt) == 0
+        n[mask] += shift_amt
+        v[~mask] >>= _U64(shift_amt)
+    out[nz] = n
+    return out
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Count trailing zeros of uint64 (vectorized); ctz(0) = 64."""
+    low = (x & (~x + _U64(1)))  # isolate lowest set bit
+    return np.where(x == 0, 64, 63 - _clz64(low))
+
+
 def encode_values_multi(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
     """Gorilla-XOR encode many series in one vectorized pass.
 
@@ -192,6 +207,7 @@ def encode_values_multi(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
     n = v.size
     if n == 0:
         return []
+    starts = np.asarray(starts, dtype=np.int64)
     xor = np.empty(n, dtype=np.uint64)
     xor[0] = v[0]
     xor[1:] = v[1:] ^ v[:-1]
@@ -215,9 +231,16 @@ def encode_values_multi(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
     width[starts] = 64
     lo[starts] = v[starts]
     hi[starts] = 0
-    lens = np.diff(np.append(starts, n)).astype(np.uint32)
     payloads = _pack_spans(hi, lo, width, starts)
-    return [ln.tobytes() + p for ln, p in zip(lens, payloads)]
+
+    include = np.ones(n, dtype=bool)
+    include[starts] = False  # first point is raw-coded, not in the bitmap
+    sidecars = _pack_sidecars(include, ~zero, mlen.astype(np.uint64) & _U64(63), 6, starts)
+
+    lens = np.diff(np.append(starts, n))
+    return [
+        _hdr(int(ln), sc) + sc + p for ln, sc, p in zip(lens, sidecars, payloads)
+    ]
 
 
 def encode_timestamps_multi(ts: np.ndarray, starts: np.ndarray) -> list[bytes]:
@@ -227,6 +250,7 @@ def encode_timestamps_multi(ts: np.ndarray, starts: np.ndarray) -> list[bytes]:
     n = t.size
     if n == 0:
         return []
+    starts = np.asarray(starts, dtype=np.int64)
     lens = np.diff(np.append(starts, n))
     raw = t.view(np.uint64)
     is_start = np.zeros(n, dtype=bool)
@@ -243,6 +267,7 @@ def encode_timestamps_multi(ts: np.ndarray, starts: np.ndarray) -> list[bytes]:
     width = np.empty(n, dtype=np.int64)
     lo = np.empty(n, dtype=np.uint64)
     hi = np.zeros(n, dtype=np.uint64)
+    cls = np.zeros(n, dtype=np.uint64)  # sidecar bucket class per non-zero dod
     zero = dod == 0
     b7 = (~zero) & (z < (1 << 7))
     b12 = (~zero) & (~b7) & (z < (1 << 12))
@@ -254,11 +279,14 @@ def encode_timestamps_multi(ts: np.ndarray, starts: np.ndarray) -> list[bytes]:
     lo[b7] = (_U64(0b10) << _U64(7)) | z[b7]
     width[b12] = 3 + 12
     lo[b12] = (_U64(0b110) << _U64(12)) | z[b12]
+    cls[b12] = 1
     width[b20] = 4 + 20
     lo[b20] = (_U64(0b1110) << _U64(20)) | z[b20]
+    cls[b20] = 2
     width[b64] = 4 + 64
     lo[b64] = z[b64]
     hi[b64] = _U64(0b1111)
+    cls[b64] = 3
     # first two codes of each series are raw 64-bit (ts, then first delta)
     width[is_start] = 64
     lo[is_start] = raw[is_start]
@@ -268,23 +296,11 @@ def encode_timestamps_multi(ts: np.ndarray, starts: np.ndarray) -> list[bytes]:
     hi[second] = 0
 
     payloads = _pack_spans(hi, lo, width, starts)
-    return [np.uint32(ln).tobytes() + p for ln, p in zip(lens, payloads)]
-
-
-def _read_tables(payload: bytes) -> tuple[list[int], np.ndarray]:
-    """Fast-read helpers over a packed bit stream.
-
-    Returns ``(quad, pbytes)``: ``quad[k]`` is the big-endian 32-bit word
-    at byte offset k (a plain Python list — pass-1 loops index it with
-    native ints, ~100 ns cheaper per read than numpy scalar indexing), and
-    ``pbytes`` is the zero-padded byte array for pass-2 vector gathers.
-    Reading ``w ≤ 25`` bits at bit position p:
-    ``(quad[p >> 3] >> (32 - (p & 7) - w)) & ((1 << w) - 1)``.
-    """
-    padded = np.frombuffer(payload + b"\x00" * 12, dtype=np.uint8)
-    b = padded.astype(np.uint32)
-    quad = ((b[:-3] << 8 | b[1:-2]) << 16 | (b[2:-1] << 8 | b[3:])).tolist()
-    return quad, padded
+    include = ~(is_start | second)  # raw-coded heads are not in the bitmap
+    sidecars = _pack_sidecars(include, ~zero, cls, 2, starts)
+    return [
+        _hdr(int(ln), sc) + sc + p for ln, sc, p in zip(lens, sidecars, payloads)
+    ]
 
 
 def _gather64(pbytes: np.ndarray, off: np.ndarray) -> np.ndarray:
@@ -304,51 +320,62 @@ def _gather64(pbytes: np.ndarray, off: np.ndarray) -> np.ndarray:
     return (w << r) | (pb[k + 8] >> (_U64(8) - r))
 
 
+def _padded(payload: bytes) -> np.ndarray:
+    """Zero-padded byte array for ``_gather64`` (9-byte reads at any valid
+    bit offset stay in range)."""
+    return np.frombuffer(payload + b"\x00" * 12, dtype=np.uint8)
+
+
+def _unpack_entries(buf: bytes, count: int, ebits: int) -> np.ndarray:
+    """Read ``count`` MSB-first fixed-width entries from packed bytes."""
+    if count == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=count * ebits)
+    weights = (1 << np.arange(ebits - 1, -1, -1)).astype(np.int64)
+    return bits.reshape(count, ebits).astype(np.int64) @ weights
+
+
 def decode_values(buf: bytes) -> np.ndarray:
     if not buf:
         return np.empty(0, dtype=np.float64)
-    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
-    payload = buf[4:]
-    quad, pbytes = _read_tables(payload)
+    hdr = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    n = hdr & _N_MASK
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
 
-    # fast path: constant series — every xor code is the 1-bit '0', so the
-    # stream is exactly 64 + (n-1) bits; any non-constant point adds ≥12
-    # bits, so byte length alone discriminates. (The common case for
-    # gap-filled / boilerplate-flat tiers.)
-    if n > 1 and len(payload) == (64 + n - 1 + 7) // 8:
-        v0 = _gather64(pbytes, np.array([0], np.int64)).view(np.float64)[0]
+    if not hdr >> 31:
+        # degenerate: every xor code is the 1-bit repeat → constant series
+        # (the common case for gap-filled / boilerplate-flat tiers)
+        v0 = _gather64(_padded(buf[4:]), np.zeros(1, np.int64)).view(np.float64)[0]
         return np.full(n, v0)
 
-    # pass 1: position scan — record (payload offset, lead, mlen) per point
-    # (plain Python lists: per-element numpy stores cost ~300 ns each, list
-    # appends ~50 ns — this loop is the decode bottleneck)
-    moff_l = [0]
-    lead_l = [0]
-    mlen_l = [64]  # first value: raw 64 bits (lead 0 → xor == raw bits)
-    pos = 64
-    for _ in range(1, n):
-        hdr = (quad[pos >> 3] >> (20 - (pos & 7))) & 0xFFF  # ctrl+lead+mlen
-        if hdr < 0x800:  # ctrl bit 0 → repeat previous value
-            moff_l.append(-1)
-            lead_l.append(0)
-            mlen_l.append(1)  # any nonzero width; payload masked out below
-            pos += 1
-        else:
-            m = (hdr & 63) or 64
-            lead_l.append((hdr >> 6) & 31)
-            mlen_l.append(m)
-            pos += 12
-            moff_l.append(pos)
-            pos += m
-    moff = np.array(moff_l, dtype=np.int64)
-    lead = np.array(lead_l, dtype=np.uint64)
-    mlen = np.array(mlen_l, dtype=np.uint64)
+    # sidecar → per-point code widths → positions by cumsum; all numpy
+    m = n - 1
+    bm_bytes = (m + 7) // 8
+    bitmap = np.unpackbits(
+        np.frombuffer(buf[4 : 4 + bm_bytes], dtype=np.uint8), count=m
+    ).astype(bool)
+    nz = np.flatnonzero(bitmap) + 1  # point indices with a header code
+    k = nz.size
+    ent_bytes = (k * 6 + 7) // 8
+    mlen6 = _unpack_entries(buf[4 + bm_bytes : 4 + bm_bytes + ent_bytes], k, 6)
+    mlen = np.where(mlen6 == 0, 64, mlen6).astype(np.uint64)
 
-    # pass 2: vectorized payload extraction + XOR-prefix reconstruction
-    repeat = moff < 0
-    w = _gather64(pbytes, np.where(repeat, 0, moff))
-    meaningful = w >> (_U64(64) - mlen)
-    xor = np.where(repeat, _U64(0), meaningful << (_U64(64) - lead - mlen))
+    widths = np.ones(n, dtype=np.int64)
+    widths[0] = 64
+    widths[nz] = 12 + mlen.astype(np.int64)
+    pos = np.zeros(n, dtype=np.int64)
+    np.cumsum(widths[:-1], out=pos[1:])
+
+    pbytes = _padded(buf[4 + bm_bytes + ent_bytes :])
+    heads = _gather64(pbytes, pos[nz])
+    lead = (heads >> _U64(58)) & _U64(31)
+    pay = _gather64(pbytes, pos[nz] + 12)
+    meaningful = pay >> (_U64(64) - mlen)
+
+    xor = np.zeros(n, dtype=np.uint64)
+    xor[0] = _gather64(pbytes, np.zeros(1, np.int64))[0]
+    xor[nz] = meaningful << (_U64(64) - lead - mlen)
     return np.bitwise_xor.accumulate(xor).view(np.float64)
 
 
@@ -356,112 +383,58 @@ def _zigzag(x: np.ndarray) -> np.ndarray:
     return ((x << 1) ^ (x >> 63)).astype(np.uint64)
 
 
-
-def encode_timestamps(ts: np.ndarray) -> bytes:
-    """Delta-of-delta encode an int64 array (timestamps in any fixed unit)."""
-    t = np.ascontiguousarray(ts, dtype=np.int64)
-    n = t.size
-    header_bytes = np.uint32(n).tobytes()
-    if n == 0:
-        return header_bytes
-    raw = t.view(np.uint64)
-    if n == 1:
-        return header_bytes + _pack_codes(
-            np.zeros(1, np.uint64), raw[:1].copy(), np.array([64], np.int64)
-        )
-
-    delta = np.diff(t)
-    dod = np.empty(n - 2, dtype=np.int64) if n > 2 else np.empty(0, dtype=np.int64)
-    if n > 2:
-        dod[:] = delta[1:] - delta[:-1]
-    z = _zigzag(dod)
-
-    width = np.empty(dod.size, dtype=np.int64)
-    lo = np.empty(dod.size, dtype=np.uint64)
-    hi = np.zeros(dod.size, dtype=np.uint64)
-    zero = dod == 0
-    b7 = (~zero) & (z < (1 << 7))
-    b12 = (~zero) & (~b7) & (z < (1 << 12))
-    b20 = (~zero) & (~b7) & (~b12) & (z < (1 << 20))
-    b64 = (~zero) & (~b7) & (~b12) & (~b20)
-    width[zero] = 1
-    lo[zero] = 0
-    width[b7] = 2 + 7
-    lo[b7] = (_U64(0b10) << _U64(7)) | z[b7]
-    width[b12] = 3 + 12
-    lo[b12] = (_U64(0b110) << _U64(12)) | z[b12]
-    width[b20] = 4 + 20
-    lo[b20] = (_U64(0b1110) << _U64(20)) | z[b20]
-    width[b64] = 4 + 64
-    lo[b64] = z[b64]
-    hi[b64] = _U64(0b1111)
-
-    all_hi = np.concatenate([np.zeros(2, np.uint64), hi])
-    all_lo = np.concatenate([raw[:1], delta[:1].view(np.uint64), lo])
-    all_w = np.concatenate([np.array([64, 64], np.int64), width])
-    return header_bytes + _pack_codes(all_hi, all_lo, all_w)
+# dod bucket class → (code width, zigzag payload width)
+_TS_WIDTH = np.array([9, 15, 24, 68], dtype=np.int64)
+_TS_ZW = np.array([7, 12, 20, 64], dtype=np.int64)
 
 
 def decode_timestamps(buf: bytes) -> np.ndarray:
-    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    hdr = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    n = hdr & _N_MASK
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    payload = buf[4:]
-    quad, pbytes = _read_tables(payload)
 
-    head = _gather64(pbytes, np.array([0, 64], np.int64)).view(np.int64)
-    t0 = int(head[0])
-    if n == 1:
-        return np.array([t0], np.int64)
-    delta0 = int(head[1])
-
-    # fast path: regular grid — every dod code is the 1-bit '0', so the
-    # stream is exactly 128 + (n-2) bits; any non-zero dod adds ≥8 bits,
-    # so byte length alone discriminates. (The 1-minute-tier common case:
-    # SURVEY §2.12's ~1 bit/point degenerate grid.)
-    if len(payload) == (128 + n - 2 + 7) // 8:
+    if not hdr >> 31:
+        # degenerate: every dod is 0 → regular grid (the 1-minute-tier
+        # common case: SURVEY §2.12's ~1 bit/point grid)
+        pbytes = _padded(buf[4:])
+        t0 = int(_gather64(pbytes, np.zeros(1, np.int64)).view(np.int64)[0])
+        if n == 1:
+            return np.array([t0], np.int64)
+        delta0 = int(_gather64(pbytes, np.full(1, 64, np.int64)).view(np.int64)[0])
         return t0 + delta0 * np.arange(n, dtype=np.int64)
 
-    # pass 1: position scan — classify each prefix, record (z offset, width)
-    m = n - 2
-    zoff_l: list[int] = []
-    zw_l: list[int] = []
-    pos = 128
-    for _ in range(m):
-        c = (quad[pos >> 3] >> (28 - (pos & 7))) & 0xF
-        if c < 0b1000:  # '0' → dod == 0
-            zoff_l.append(0)
-            zw_l.append(0)
-            pos += 1
-        elif c < 0b1100:  # '10' + 7 bits
-            zoff_l.append(pos + 2)
-            zw_l.append(7)
-            pos += 9
-        elif c < 0b1110:  # '110' + 12 bits
-            zoff_l.append(pos + 3)
-            zw_l.append(12)
-            pos += 15
-        elif c == 0b1110:  # '1110' + 20 bits
-            zoff_l.append(pos + 4)
-            zw_l.append(20)
-            pos += 24
-        else:  # '1111' + 64 bits
-            zoff_l.append(pos + 4)
-            zw_l.append(64)
-            pos += 68
-    zoff = np.array(zoff_l, dtype=np.int64)
-    zw = np.array(zw_l, dtype=np.uint64)
+    m = n - 2  # flag implies at least one non-zero dod → n ≥ 3
+    bm_bytes = (m + 7) // 8
+    bitmap = np.unpackbits(
+        np.frombuffer(buf[4 : 4 + bm_bytes], dtype=np.uint8), count=m
+    ).astype(bool)
+    nz = np.flatnonzero(bitmap)
+    k = nz.size
+    ent_bytes = (k * 2 + 7) // 8
+    cls = _unpack_entries(buf[4 + bm_bytes : 4 + bm_bytes + ent_bytes], k, 2)
 
-    # pass 2: vectorized zigzag extraction + double prefix-sum
-    w = _gather64(pbytes, zoff)
-    z = np.where(zw == 0, _U64(0), w >> ((_U64(64) - zw) & _U64(63)))
-    dod = (z >> _U64(1)).view(np.int64) ^ -(z & _U64(1)).view(np.int64)
+    widths = np.ones(m, dtype=np.int64)
+    widths[nz] = _TS_WIDTH[cls]
+    pos = np.full(m, 128, dtype=np.int64)
+    if m > 1:
+        pos[1:] += np.cumsum(widths[:-1])
+
+    pbytes = _padded(buf[4 + bm_bytes + ent_bytes :])
+    head = _gather64(pbytes, np.array([0, 64], np.int64)).view(np.int64)
+    t0, delta0 = int(head[0]), int(head[1])
+
+    zw = _TS_ZW[cls]
+    w = _gather64(pbytes, pos[nz] + (_TS_WIDTH[cls] - zw))
+    zval = w >> ((_U64(64) - zw.astype(np.uint64)) & _U64(63))
+    dod = np.zeros(m, dtype=np.int64)
+    dod[nz] = (zval >> _U64(1)).view(np.int64) ^ -(zval & _U64(1)).view(np.int64)
+
     # delta_i = delta0 + cumsum(dod); out_i = t0 + cumsum(delta)
     deltas = np.empty(n - 1, dtype=np.int64)
     deltas[0] = delta0
-    if m:
-        np.cumsum(dod, out=deltas[1:])
-        deltas[1:] += delta0
+    np.cumsum(dod, out=deltas[1:])
+    deltas[1:] += delta0
     out = np.empty(n, dtype=np.int64)
     out[0] = t0
     np.cumsum(deltas, out=out[1:])

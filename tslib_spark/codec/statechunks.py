@@ -42,6 +42,24 @@ DAY_MINUTES = 1440
 _STATE_BLOBS = ("ts_blob", "cnt_blob", "sum_blob", "min_blob", "max_blob")
 
 
+def _sum_scaled(pdf: pd.DataFrame) -> np.ndarray:
+    """Scaled-sum column as int64, refusing silent corruption.
+
+    Under ANSI mode (pinned in session._BASE_CONF) an overflowing long cast
+    raises JVM-side and this is never reached with bad data. But a session
+    built elsewhere with ansi=false (getOrCreate ignores confs on a live
+    session) turns overflow into NULL, which a bare ``to_numpy(int64)``
+    would quietly cast NaN → INT64_MIN — silent tier corruption. Guard
+    explicitly."""
+    raw = pdf["_sum_scaled"].to_numpy()
+    if raw.dtype.kind == "f" and np.isnan(raw).any():
+        raise ValueError(
+            "val_sum overflowed the 1e-9-quantum int64 bound (|val_sum| must "
+            "be < 2^63/1e9); refusing to encode a corrupted tier chunk"
+        )
+    return raw.astype(np.int64, copy=False)
+
+
 def encode_state_chunks(
     tier: DataFrame,
     keys: list[str],
@@ -84,9 +102,7 @@ def encode_state_chunks(
                 "cnt_blob": encode_timestamps_multi(
                     pdf["cnt"].to_numpy(dtype=np.int64), starts
                 ),
-                "sum_blob": encode_timestamps_multi(
-                    pdf["_sum_scaled"].to_numpy(dtype=np.int64), starts
-                ),
+                "sum_blob": encode_timestamps_multi(_sum_scaled(pdf), starts),
                 "min_blob": encode_values_multi(
                     pdf["val_min"].to_numpy(dtype=np.float64), starts
                 ),
@@ -123,18 +139,23 @@ def encode_state_chunks(
 
 
 def decode_state_chunks(chunks: DataFrame, keys: list[str]) -> DataFrame:
-    """Compressed chunk rows → tier-state rows (exact inverse)."""
+    """Compressed chunk rows → tier-state rows (exact inverse).
+
+    The Arrow kernel emits the 1e-9-quantum scaled int64; the decimal(38,9)
+    is rebuilt JVM-side — decimal(19,0) × decimal literal 1E-9 is exact
+    (result type decimal(29,9), no truncation) and avoids a per-point
+    Python ``Decimal`` construction on the read path."""
     key_fields = ", ".join(f"`{k}` string" for k in keys)
     schema = (
         f"{key_fields}, bucket_ts timestamp, cnt long, "
-        "val_sum decimal(38,9), val_min double, val_max double"
+        "_sum_scaled long, val_min double, val_max double"
     )
 
     def _decode(iterator):
         for pdf in iterator:
             if not len(pdf):
                 yield pd.DataFrame(
-                    columns=[*keys, "bucket_ts", "cnt", "val_sum", "val_min", "val_max"]
+                    columns=[*keys, "bucket_ts", "cnt", "_sum_scaled", "val_min", "val_max"]
                 )
                 continue
             minutes = [decode_timestamps(bytes(b)) for b in pdf["ts_blob"].to_numpy()]
@@ -146,14 +167,21 @@ def decode_state_chunks(chunks: DataFrame, keys: list[str]) -> DataFrame:
             out = pd.DataFrame({k: np.repeat(pdf[k].to_numpy(), lens) for k in keys})
             out["bucket_ts"] = pd.to_datetime(np.concatenate(minutes) * 60, unit="s")
             out["cnt"] = np.concatenate(cnts)
-            # int64 → Decimal at the 1e-9 quantum; Arrow maps Python Decimal
-            # to decimal(38,9) exactly
-            from decimal import Decimal
-
-            sc = np.concatenate(sums)
-            out["val_sum"] = [Decimal(int(x)).scaleb(-9) for x in sc]
+            out["_sum_scaled"] = np.concatenate(sums)
             out["val_min"] = np.concatenate(mins)
             out["val_max"] = np.concatenate(maxs)
             yield out
 
-    return chunks.mapInPandas(_decode, schema=schema)
+    from decimal import Decimal
+
+    quantum = F.lit(Decimal("1E-9"))  # decimal(9,9) literal, exact
+    return chunks.mapInPandas(_decode, schema=schema).select(
+        *keys,
+        "bucket_ts",
+        "cnt",
+        (F.col("_sum_scaled").cast("decimal(19,0)") * quantum)
+        .cast("decimal(38,9)")
+        .alias("val_sum"),
+        "val_min",
+        "val_max",
+    )

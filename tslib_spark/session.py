@@ -22,6 +22,12 @@ from pyspark.sql import SparkSession
 # partition number high and let AQE shrink.
 _BASE_CONF = {
     "spark.sql.session.timeZone": "UTC",
+    # Pinned, not assumed: the state-chunk codec's overflow fail-fast
+    # (statechunks.py — scaled-sum long cast must RAISE, never wrap/NULL)
+    # relies on ANSI semantics. Spark 4 defaults to true, but a session
+    # built elsewhere with ansi=false would turn tier overflow into silent
+    # NULL → INT64_MIN corruption.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
