@@ -481,7 +481,7 @@ def _q_ivf_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     cent = train_ivf_centroids(
-        emb.orderBy("vec_id"), "embedding", n_centroids=16, sample=2000, seed=42
+        emb, "embedding", n_centroids=16, sample=2000, seed=42, order_col="vec_id"
     )
     return ivf_topk(emb, "embedding", "vec_id", [float(x) for x in query], cent, k=10, nprobe=4)
 

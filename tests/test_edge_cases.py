@@ -98,3 +98,42 @@ def test_cosine_near_dup_recall(spark):
     assert recall >= 0.9, f"near-dup recall = {recall}"
     # and no false positives below the threshold
     assert (pairs["cosine"] >= 0.99).all()
+
+
+def test_cosine_near_dup_multiband_recall_at_08(spark):
+    """OR-amplified (multiband) recall at a WORKING dedup threshold (0.8),
+    where a single hash table's recall collapses: per-band collision at
+    cosine 0.85 with 6 planes is ~0.3, so 8 bands give ~0.95. Ground truth
+    = exact numpy cosine ≥ 0.8; asserts recall ≥ 0.9 and that the candidate
+    volume stays bounded (no quadratic all-pairs fallback)."""
+    from tslib_spark.operators.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    dim, n_planted = 24, 40
+    vecs = []
+    for _ in range(n_planted):
+        base = rng.normal(size=dim)
+        vecs.append(base)
+        vecs.append(base + rng.normal(0, 0.55, dim))  # cosine ≈ 0.82–0.93
+    for _ in range(400):
+        vecs.append(rng.normal(size=dim))
+    X = np.array(vecs)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    iu = np.triu_indices(len(X), k=1)
+    truth = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][cos[iu] >= 0.8], iu[1][cos[iu] >= 0.8])
+    }
+    assert len(truth) >= 25  # the fixture actually planted working pairs
+
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    pairs = cosine_near_dup_pairs(
+        spark.createDataFrame(pdf), "embedding", "vec_id", dim=dim,
+        threshold=0.8, n_planes=6, n_bands=8, max_bucket=200,
+    ).toPandas()
+    found = {tuple(sorted((int(a), int(b)))) for a, b in pairs[["id_a", "id_b"]].to_numpy()}
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"multiband near-dup recall at 0.8 = {recall}"
+    assert (pairs["cosine"] >= 0.8).all()
+    assert found <= truth  # exact verify admits no false positives

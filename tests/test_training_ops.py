@@ -63,6 +63,36 @@ def test_minhash_finds_near_dups(spark, docs):
     assert len(near) >= 3
 
 
+def test_lsh_bucket_cap_defuses_boilerplate_bucket(spark):
+    """A boilerplate corpus (many docs sharing every band hash) must not
+    produce a quadratic candidate stage: with max_bucket set, the
+    degenerate buckets are dropped (and recorded by lsh_oversized_buckets)
+    while honest near-dup pairs elsewhere are still found."""
+    from tslib_spark.operators.dedup import lsh_oversized_buckets
+
+    boiler = "lorem ipsum boilerplate footer terms of service apply here"
+    rows = [(i, boiler) for i in range(120)]  # one adversarial bucket of 120
+    rows += [(200, "a unique document about distributed query planning"),
+             (201, "a unique document about distributed query planning today")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    pairs = near_dup_minhash(
+        df, "doc_id", "text", n=2, num_hashes=64, bands=32, threshold=0.5,
+        max_bucket=50,
+    ).toPandas()
+    found = {tuple(sorted((int(a), int(b)))) for a, b in pairs[["id_a", "id_b"]].to_numpy()}
+    # the honest near-dup pair survives; the 120²/2 boilerplate pairs do not
+    assert (200, 201) in found
+    assert not any(a < 120 and b < 120 for a, b in found)
+
+    from tslib_spark.operators.dedup import minhash_signature, shingles
+
+    sh = shingles(df.select("doc_id", "text"), "text", 2)
+    mh = minhash_signature(sh, num_hashes=64)
+    over = lsh_oversized_buckets(mh, bands=32, rows_per_band=2, max_bucket=50).toPandas()
+    assert len(over) >= 1 and (over["bucket_count"] == 120).all()
+
+
 def test_simhash_hamming_close_for_near_dups(spark, docs):
     sh = simhash(docs, "text").cache()
     dups = simhash_near_dups(sh, "doc_id", max_hamming=16, blocks=4).toPandas()
@@ -223,7 +253,7 @@ def test_ivf_topk_recall(spark):
 
     pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
     df = spark.createDataFrame(pdf)
-    cent = train_ivf_centroids(df, "embedding", n_centroids=20, seed=5)
+    cent = train_ivf_centroids(df, "embedding", n_centroids=20, seed=5, order_col="vec_id")
     got = ivf_topk(df, "embedding", "vec_id", q.tolist(), cent, k=10, nprobe=4).toPandas()
     recall = len(set(got["vec_id"]) & truth) / 10
     assert recall >= 0.9, f"IVF recall@10 = {recall}"

@@ -85,21 +85,9 @@ def minhash_signature(
     return df.withColumn(out_col, sig)
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    minhash_col: str = "minhash",
-    bands: int = 16,
-    rows_per_band: int = 4,
-) -> DataFrame:
-    """Banded LSH: docs sharing any band hash become candidate pairs.
-
-    Shuffle = one explode to (doc, band) rows + a self-equi-join on
-    (band, band_hash). AQE's skew-join handles degenerate buckets (e.g.
-    boilerplate-heavy shards); for adversarial inputs cap bucket size
-    upstream with a count filter.
-    """
-    band_arr = F.array(
+def _band_array(minhash_col: str, bands: int, rows_per_band: int):
+    """Per-band hashes of the signature slices, as one array column."""
+    return F.array(
         *[
             F.xxhash64(
                 F.concat_ws(",", *[
@@ -111,7 +99,57 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = df.select(F.col(id_col).alias("_id"), F.posexplode(band_arr).alias("band", "band_hash"))
+
+
+def lsh_oversized_buckets(
+    df: DataFrame,
+    minhash_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Lineage record for the skew guard: the (band, band_hash, bucket_count)
+    rows that ``lsh_candidate_pairs(max_bucket=...)`` would drop. Run with
+    the same banding parameters to audit exactly which buckets were skipped
+    (typically boilerplate templates shared by very many docs)."""
+    banded = df.select(F.posexplode(_band_array(minhash_col, bands, rows_per_band)).alias("band", "band_hash"))
+    return (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+        .filter(F.col("bucket_count") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    minhash_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become candidate pairs.
+
+    Shuffle = one explode to (doc, band) rows + a self-equi-join on
+    (band, band_hash). AQE's skew-join splits *large-but-honest* buckets
+    across tasks, but cannot make an adversarial bucket sub-quadratic: a
+    boilerplate-heavy shard whose docs share a band hash produces
+    count²/2 candidate rows no matter how they are scheduled. ``max_bucket``
+    is the guard — buckets above it are dropped before the self-join
+    (see similarity.cap_bucket_size; docs usually stay reachable through
+    their other bands, so recall degrades gracefully). Pair it with
+    ``lsh_oversized_buckets`` when the dropped set must be recorded.
+    """
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_band_array(minhash_col, bands, rows_per_band)).alias(
+            "band", "band_hash"
+        ),
+    )
+    if max_bucket is not None:
+        from tslib_spark.operators.similarity import cap_bucket_size
+
+        banded, _ = cap_bucket_size(banded, ["band", "band_hash"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -159,16 +197,42 @@ def near_dup_minhash(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify."""
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
+
+    The shingle set feeds three plan branches (signature + both verify
+    sides), so with ``materialize=True`` (default) it is persisted once and
+    the verified pairs are EAGERLY computed to executor storage
+    (``localCheckpoint``) before the shingle cache is released. That is an
+    action, not a lazy transform: the full pair set is pinned to executor
+    disk and its lineage is cut (no recovery past this point if executors
+    are lost) — the right trade for a dedup sweep whose output is consumed
+    repeatedly, and the cost is visible here instead of hidden.
+
+    ``materialize=False`` returns a fully lazy, lineage-preserving plan
+    with no persist and no executor-storage footprint; the shingle subtree
+    is recomputed per branch (Catalyst may still reuse the exchange). Use
+    it when composing into a larger plan or writing straight to a sink.
+
+    ``max_bucket`` caps LSH bucket size against adversarial skew (see
+    lsh_candidate_pairs)."""
     rows_per_band = num_hashes // bands
-    # the shingle set feeds three plan branches (signature + both verify
-    # sides); persist it once instead of recomputing the tokenize/shingle
-    # tree per branch
-    sh = shingles(df.select(id_col, text_col), text_col, n).persist()
+    projected = df.select(id_col, text_col)
+    if not materialize:
+        sh = shingles(projected, text_col, n)
+        mh = minhash_signature(sh, num_hashes=num_hashes, seed=seed)
+        cands = lsh_candidate_pairs(
+            mh, id_col, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
+        )
+        return jaccard_verify(cands, sh, id_col, threshold=threshold)
+    sh = shingles(projected, text_col, n).persist()
     try:
         mh = minhash_signature(sh, num_hashes=num_hashes, seed=seed)
-        cands = lsh_candidate_pairs(mh, id_col, bands=bands, rows_per_band=rows_per_band)
+        cands = lsh_candidate_pairs(
+            mh, id_col, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
+        )
         out = jaccard_verify(cands, sh, id_col, threshold=threshold)
         out = out.localCheckpoint(eager=True)  # materialize before unpersist
     finally:

@@ -116,6 +116,30 @@ def ann_lsh_topk(
     )
 
 
+def cap_bucket_size(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """Drop rows in LSH buckets larger than ``max_bucket`` (skew guard).
+
+    A bucket self-join is quadratic in bucket size: one adversarial bucket
+    (boilerplate corpora hashing to one (band, hash)) turns a sub-quadratic
+    near-dup sweep into N². Oversized buckets are counted with one
+    aggregation and anti-joined away (the oversized set is tiny by
+    construction, so it broadcasts). Returns ``(kept, dropped_buckets)``
+    — the second frame is the lineage record ``(bucket_cols..., count)``
+    so callers can log exactly which buckets were skipped. Docs in a
+    dropped bucket usually remain reachable through their OTHER bands
+    (OR-amplification), so recall degrades gracefully rather than the job
+    degrading quadratically."""
+    over = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+        .filter(F.col("bucket_count") > max_bucket)
+    )
+    kept = banded.join(F.broadcast(over.select(*bucket_cols)), bucket_cols, "left_anti")
+    return kept, over
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -124,36 +148,70 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 10,
     seed: int = 42,
+    n_bands: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All embedding pairs with cosine ≥ threshold, LSH-bucketed.
 
-    High-cosine pairs land in the same hyperplane bucket with high
-    probability; the self-join is per-bucket (shuffle on _sig), then exact
-    cosine verifies. Recall rises with fewer planes / multiband variants.
+    OR-amplified across ``n_bands`` independent hyperplane tables (band j
+    uses planes seeded ``seed + j``): a pair is a candidate if it collides
+    in ANY band, then exact cosine verifies. One table (default) has high
+    recall only near cosine 1; at working thresholds like 0.8 the collision
+    probability per table is (1 - θ/π)^n_planes, so multiple bands are
+    required for recall ≥ 0.9 — same machinery as MinHash banding.
 
-    ``dim`` is explicit: probing it with ``df.first()`` would hide a full
-    Spark job inside what reads as a lazy transform.
+    Candidates are deduped on (id_a, id_b) BEFORE vectors are fetched, so
+    the k-band union never recomputes a cosine; vectors rejoin by id (the
+    banded exchange carries only 8-byte ids + signatures, never the
+    embeddings — at 10^9 × 768-dim that is the difference between shuffling
+    ids and shuffling the corpus).
+
+    ``max_bucket`` guards the per-bucket self-join against adversarial
+    skew (see cap_bucket_size). ``dim`` is explicit: probing it with
+    ``df.first()`` would hide a full Spark job inside what reads as a lazy
+    transform.
     """
-    planes = make_planes(dim, n_planes, seed)
     vec = F.col(vec_col).cast("array<double>")
-    with_sig = df.select(
-        F.col(id_col).alias("_id"), vec.alias("_v"), _norm(vec).alias("_n"),
-        hyperplane_signature(vec, planes).alias("_sig"),
+    sigs = F.array(
+        *[
+            hyperplane_signature(vec, make_planes(dim, n_planes, seed + j))
+            for j in range(n_bands)
+        ]
     )
-    l, r = with_sig.alias("l"), with_sig.alias("r")
-    pairs = l.join(
-        r, (F.col("l._sig") == F.col("r._sig")) & (F.col("l._id") < F.col("r._id"))
-    ).select(
-        F.col("l._id").alias("id_a"),
-        F.col("r._id").alias("id_b"),
-        (_dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n"))).alias("cosine"),
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(sigs).alias("_band", "_sig")
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    if max_bucket is not None:
+        banded, _ = cap_bucket_size(banded, ["_band", "_sig"], max_bucket)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._sig") == F.col("r._sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    sides = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), _norm(vec).alias("_n"))
+    a = sides.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = sides.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def train_ivf_centroids(
     df: DataFrame, vec_col: str, n_centroids: int = 64, sample: int = 10_000,
-    iters: int = 10, seed: int = 42,
+    iters: int = 10, seed: int = 42, order_col: str | None = None,
 ) -> np.ndarray:
     """IVF coarse quantizer: k-means on a bounded driver-side sample.
 
@@ -161,8 +219,31 @@ def train_ivf_centroids(
     table size (centroid quality needs a sample, not the corpus); Lloyd
     runs in numpy with a fixed seed so every executor sees identical
     centroids. Returns (n_centroids, dim), L2-normalized so nearest-by-
-    dot-product == nearest-by-cosine."""
-    pdf = df.select(F.col(vec_col).cast("array<double>").alias("v")).limit(sample).toPandas()
+    dot-product == nearest-by-cosine.
+
+    Determinism: a bare ``.limit(sample)`` takes whatever rows arrive first
+    — partition-order nondeterministic, so reruns can train different
+    centroids. Pass ``order_col`` (e.g. the id column) to make the sample
+    a deterministic TakeOrdered; left unset, a warning records that the
+    caller accepted run-to-run centroid drift."""
+    if order_col is not None:
+        sample_df = df.orderBy(order_col)
+    else:
+        import warnings
+
+        warnings.warn(
+            "train_ivf_centroids without order_col samples rows in partition "
+            "order — centroids may differ between runs; pass order_col for "
+            "reproducible training",
+            UserWarning,
+            stacklevel=2,
+        )
+        sample_df = df
+    pdf = (
+        sample_df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(sample)
+        .toPandas()
+    )
     X = np.array(pdf["v"].tolist(), dtype=np.float64)
     return lloyd_centroids(X, n_centroids, iters, seed)
 
