@@ -198,3 +198,141 @@ def test_stream_update_svd_matches_sequential_batch(spark, tmp_path, low_rank_se
     np.testing.assert_allclose(got["weights"], want["weights"], atol=1e-12)
     np.testing.assert_allclose(got["last_row"], want["last_row"], atol=0)
     np.testing.assert_allclose(got["sk"], want["sk"], atol=1e-12)
+
+
+def test_stream_replay_and_kill_recovery(spark, tmp_path, low_rank_series):
+    """At-least-once durability: (a) re-running the stream WITHOUT a
+    checkpoint replays every file from epoch 0 — the _applied_epoch marker
+    must no-op the replay instead of double-folding the blocks; (b) a kill
+    between the two swap renames (state stranded in .old) is repaired by
+    recover_state on the next entry."""
+    import time as _time
+
+    from tslib_spark.streaming.model_stream import recover_state, stream_update_svd
+
+    N, M_total, mat = low_rank_series
+    M0 = 36
+    cfg = ModelConfig(target_key="t1", N=N, M=M0, k=3)
+    base = mat[:, :M0].flatten("F")
+    blocks = [mat[:, M0 + i : M0 + i + 2].flatten("F") for i in range(0, 4, 2)]
+
+    state_dir = str(tmp_path / "model_state")
+    fit_state(spark.createDataFrame(tidy(base)), cfg).write.parquet(state_dir)
+
+    src = str(tmp_path / "blocks")
+    schema = "group_id string, bucket_idx long, value double"
+    start = N * M0
+    for i, blk in enumerate(blocks):
+        pdf = tidy(blk, start_idx=start + i * len(blk))[["group_id", "bucket_idx", "value"]]
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    q = stream_update_svd(spark, src, schema, state_dir, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    first = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert first["times_updated"] == 2
+
+    # (a) restart with NO checkpoint: every epoch replays; state must not move
+    q2 = stream_update_svd(spark, src, schema, state_dir, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    replayed = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert replayed["times_updated"] == 2, "replayed epochs were folded twice"
+    np.testing.assert_allclose(replayed["sk"], first["sk"], atol=0)
+
+    # (b) simulate a kill between the two renames: state stranded in .old
+    import os
+
+    os.rename(state_dir, state_dir + ".old")
+    assert recover_state(state_dir)
+    recovered = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert recovered["times_updated"] == 2
+
+
+def test_update_from_store_folds_manifest_delta(spark, tmp_path, low_rank_series):
+    """Snapshot-driven incrementality: TierStore's checkpoint manifest is
+    the snapshot log; update_from_store folds exactly the unapplied
+    partition delta — no caller-supplied frames. Two materialized batches
+    → two calls fold one day each; the state matches the sequential
+    update_state oracle exactly, the reconstruction matches a full refit
+    at 1e-8 (exact low-rank data), and a third call is a no-op."""
+    import pandas as _pd
+
+    from tslib_spark.operators.retention import TierStore
+    from tslib_spark.streaming.incremental import impute_from_state
+    from tslib_spark.streaming.model_stream import update_from_store
+
+    N, M_total, mat = low_rank_series
+    M0 = 36
+    cfg = ModelConfig(target_key="t1", N=N, M=M0, k=3)
+    base = mat[:, :M0].flatten("F")
+    state_dir = str(tmp_path / "state")
+    fit_state(spark.createDataFrame(tidy(base)), cfg).write.parquet(state_dir)
+
+    # two "days" of new minute buckets, 2 columns (2N points... 40) each
+    origin = _pd.Timestamp("2026-03-02 00:00:00")
+    day_blocks = [mat[:, M0 + 2 * i : M0 + 2 * i + 2].flatten("F") for i in range(2)]
+    store = TierStore(spark, str(tmp_path / "store"), keys=["series_key"])
+
+    def tier_rows(day: int, values: np.ndarray) -> _pd.DataFrame:
+        ts = [
+            (origin + _pd.Timedelta(days=day, minutes=int(j))).to_pydatetime()
+            for j in range(len(values))
+        ]
+        return _pd.DataFrame(
+            {
+                "series_key": "t1",
+                "bucket_ts": ts,
+                "cnt": 1,
+                "val_sum": values,
+                "val_min": values,
+                "val_max": values,
+            }
+        )
+
+    def to_blocks(df):
+        # minute offset within its day → running bucket_idx after the base
+        minute = (F.unix_timestamp("bucket_ts") / 60).cast("long")
+        origin_min = int(origin.timestamp() // 60)
+        day = F.floor((minute - origin_min) / 1440)
+        within = (minute - origin_min) % 1440
+        return df.select(
+            F.lit("g0").alias("group_id"),
+            (F.lit(N * M0) + day * (2 * N) + within).cast("long").alias("bucket_idx"),
+            F.col("val_sum").cast("double").alias("value"),
+        )
+
+    store.materialize("minute", spark.createDataFrame(tier_rows(0, day_blocks[0])))
+    folded = update_from_store(spark, store, "minute", state_dir, to_blocks)
+    assert folded == ["2026-03-02"]
+
+    store.materialize("minute", spark.createDataFrame(tier_rows(1, day_blocks[1])))
+    folded = update_from_store(spark, store, "minute", state_dir, to_blocks)
+    assert folded == ["2026-03-03"]
+    assert update_from_store(spark, store, "minute", state_dir, to_blocks) == []
+
+    got = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert got["times_updated"] == 2
+
+    # oracle: the same two updates via caller-supplied frames
+    s = fit_state(spark.createDataFrame(tidy(base)), cfg)
+    for i, blk in enumerate(day_blocks):
+        nd = spark.createDataFrame(
+            tidy(blk, start_idx=N * M0 + i * len(blk))[["group_id", "bucket_idx", "value"]]
+        )
+        s = update_state(s, nd)
+    want = s.toPandas().iloc[0]
+    np.testing.assert_allclose(got["sk"], want["sk"], atol=1e-12)
+    np.testing.assert_allclose(got["weights"], want["weights"], atol=1e-12)
+    np.testing.assert_allclose(got["last_row"], want["last_row"], atol=0)
+
+    # and the incrementally-maintained reconstruction equals a full refit
+    # on this exact low-rank panel
+    rec = (
+        impute_from_state(spark.read.parquet(state_dir))
+        .toPandas()
+        .sort_values(["col_idx", "row_idx"])["value"]
+        .to_numpy()
+    )
+    full = mat[:, : M0 + 4]
+    sk_f, uk_f, vk_f = linalg.svd_topk(full, 3)
+    np.testing.assert_allclose(rec, linalg.reconstruct(sk_f, uk_f, vk_f).flatten("F"), atol=1e-8)

@@ -1,27 +1,92 @@
-"""Streaming model maintenance: updateSVD driven by Structured Streaming.
+"""Streaming model maintenance: updateSVD driven by Structured Streaming
+and by TierStore manifest deltas.
 
 The reference's update loop is "new block arrives → updateSVD(D)"
-(/root/reference/src/models/tsSVDModel.py:194-232, driver-called). The
-streaming shape here: ``readStream`` over an append-only bucket source →
-``foreachBatch`` folds each micro-batch into the parquet-backed model
-state table via update_state (cogrouped kernel), with an atomic
-write-then-rename swap so a kill mid-batch leaves the previous state
-intact — the same resumability contract as the TierStore checkpoint.
+(/root/reference/src/models/tsSVDModel.py:194-232, driver-called). Two
+Spark-shaped drivers of the same cogrouped update_state kernel:
 
-State swap instead of in-place write: streaming epochs may retry; the
-swap makes a replayed epoch idempotent at the storage level (the rename
-is the commit point).
+- ``stream_update_svd``: ``readStream`` over an append-only bucket source
+  → ``foreachBatch`` folds each micro-batch into the parquet-backed model
+  state table.
+- ``update_from_store``: snapshot-driven batch incrementality — the
+  TierStore checkpoint manifest is the snapshot log (one row per written
+  partition, like Iceberg snapshots); the state table records which
+  partition keys it has already folded, and one call folds exactly the
+  delta. No caller-supplied frames: the store's own lineage decides what
+  is new — the resumable north-rule shape.
+
+Durability contract (both drivers):
+
+- **Atomic swap**: new state is written to ``state_dir + ".next"`` and
+  renamed over ``state_dir``; a kill mid-write leaves the previous state
+  intact. A kill *between* the two renames strands the state in
+  ``state_dir + ".old"`` — every entry point first calls
+  ``recover_state``, which restores it.
+- **Idempotent replay**: foreachBatch is at-least-once, so the swap alone
+  is not enough — a replayed epoch after a successful swap would fold the
+  same block twice and silently corrupt the model. The state directory
+  carries an ``_applied_epoch`` marker (underscore-prefixed: invisible to
+  parquet reads) that travels with the swap; ``_upsert`` no-ops when
+  ``epoch_id <=`` the marker. ``update_from_store`` keeps the applied
+  partition-key set in ``_applied_source`` the same way, so a killed call
+  re-folds exactly the unapplied delta and a replayed call is a no-op.
+
+Epoch ids restart from 0 when a stream runs without ``checkpoint_dir``;
+the marker then correctly no-ops the replay of already-applied files on
+restart, provided the file set and trigger size are unchanged (file
+sources list deterministically). For exactly-once across restarts with a
+growing source, pass ``checkpoint_dir``.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from tslib_spark.streaming.incremental import update_state
+
+_EPOCH_MARKER = "_applied_epoch"
+_SOURCE_MARKER = "_applied_source"
+
+
+def recover_state(state_dir: str) -> bool:
+    """Repair a state directory stranded by a kill between the two swap
+    renames (state moved to ``.old`` but ``.next`` not yet renamed in).
+    Returns True if a recovery happened."""
+    old = state_dir + ".old"
+    if not os.path.exists(state_dir) and os.path.exists(old):
+        os.rename(old, state_dir)
+        return True
+    return False
+
+
+def _read_marker(state_dir: str, name: str):
+    path = os.path.join(state_dir, name)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def _swap_state(new_state: DataFrame, state_dir: str, markers: dict[str, object]) -> None:
+    """Write → marker → rename-swap. The second rename is the commit point;
+    recover_state undoes a kill between the renames."""
+    nxt = state_dir + ".next"
+    shutil.rmtree(nxt, ignore_errors=True)
+    new_state.write.mode("overwrite").parquet(nxt)
+    for name, payload in markers.items():
+        with open(os.path.join(nxt, name), "w") as f:
+            json.dump(payload, f)
+    old = state_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(state_dir, old)
+    os.rename(nxt, state_dir)  # commit point
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def stream_update_svd(
@@ -37,23 +102,24 @@ def stream_update_svd(
     micro-batch. ``state_dir`` must hold an initial fit_state parquet.
 
     Returns the started query (caller awaits/stops). Each epoch:
-    read current state → cogrouped update_state with the batch → write to
-    ``state_dir + ".next"`` → rename over ``state_dir``.
+    read current state → cogrouped update_state with the batch → atomic
+    swap (see module docstring for the replay/recovery contract).
     """
 
     def _upsert(batch_df, epoch_id: int) -> None:
+        recover_state(state_dir)
         if batch_df.isEmpty():
             return
+        applied = _read_marker(state_dir, _EPOCH_MARKER)
+        if applied is not None and epoch_id <= applied["epoch_id"]:
+            return  # at-least-once replay of a committed epoch: no-op
         state = spark.read.parquet(state_dir)
         new_state = update_state(state, batch_df, method=method)
-        nxt = state_dir + ".next"
-        shutil.rmtree(nxt, ignore_errors=True)
-        new_state.write.mode("overwrite").parquet(nxt)
-        old = state_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(state_dir, old)
-        os.rename(nxt, state_dir)  # commit point
-        shutil.rmtree(old, ignore_errors=True)
+        keep = _read_marker(state_dir, _SOURCE_MARKER)
+        markers = {_EPOCH_MARKER: {"epoch_id": epoch_id}}
+        if keep is not None:
+            markers[_SOURCE_MARKER] = keep
+        _swap_state(new_state, state_dir, markers)
 
     stream = (
         spark.readStream.schema(source_schema)
@@ -64,3 +130,62 @@ def stream_update_svd(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def update_from_store(
+    spark: SparkSession,
+    store,
+    tier: str,
+    state_dir: str,
+    to_blocks,
+    method: str = "folding-in",
+) -> list[str]:
+    """Fold the TierStore's unapplied partition delta into the model state.
+
+    ``store`` is a TierStore; its checkpoint manifest records every
+    materialized partition of ``tier`` (the snapshot log). The state dir's
+    ``_applied_source`` marker records which of those this model has
+    already folded; one call reads exactly the new partitions (partition-
+    pruned scan, decoded transparently for compressed tiers), maps them to
+    tidy update blocks via ``to_blocks(tier_df) -> (group_id, bucket_idx,
+    value)`` rows, applies ONE update_state pass, and commits state +
+    marker atomically. Returns the partition keys folded this call
+    (empty = model already current).
+
+    Crash-safe: a kill before the swap leaves marker and state at the
+    previous version, so the re-run folds the same delta; a replayed call
+    after the swap sees no delta and no-ops.
+    """
+    recover_state(state_dir)
+    marker = _read_marker(state_dir, _SOURCE_MARKER) or {"tier": tier, "partitions": []}
+    if marker.get("tier", tier) != tier:
+        raise ValueError(
+            f"state at {state_dir} tracks tier {marker['tier']!r}, not {tier!r}"
+        )
+    applied = set(marker["partitions"])
+    available = store.checkpoint.done_partitions(tier)
+    new_pks = sorted(available - applied)
+    if not new_pks:
+        return []
+
+    raw = spark.read.parquet(store.tier_path(tier)).filter(
+        F.col("part_key").isin(new_pks)
+    ).drop("part_key")
+    if tier in store.compressed_tiers:
+        from tslib_spark.codec.statechunks import decode_state_chunks
+
+        tier_rows = decode_state_chunks(raw, store.keys)
+    else:
+        tier_rows = raw
+    blocks = to_blocks(tier_rows)
+
+    state = spark.read.parquet(state_dir)
+    new_state = update_state(state, blocks, method=method)
+    keep_epoch = _read_marker(state_dir, _EPOCH_MARKER)
+    markers: dict[str, object] = {
+        _SOURCE_MARKER: {"tier": tier, "partitions": sorted(applied | set(new_pks))}
+    }
+    if keep_epoch is not None:
+        markers[_EPOCH_MARKER] = keep_epoch
+    _swap_state(new_state, state_dir, markers)
+    return new_pks
