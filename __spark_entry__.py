@@ -492,6 +492,31 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, "embedding", "vec_id", [float(x) for x in query], k=10)
 
 
+def _q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, OR-amplified across 4 hyperplane
+    bands with the bucket-size skew guard on. The synthetic embeddings
+    have no natural ≥0.9 pairs, so the query plants deterministic
+    perturbed twins (vec_id+1000 = 1.01·v + 0.02) for the first 60
+    vectors; the frozen oracle (fixtures/cosine_near_dup_sf001.parquet)
+    replicates planes, banding, cap, and left-to-right float sums exactly
+    (scripts/freeze_oracles.py:freeze_cosine_near_dup)."""
+    from tslib_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = base.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.01) + F.lit(0.02)
+        ).alias("embedding"),
+    )
+    docs = base.unionByName(pert)
+    return cosine_near_dup_pairs(
+        docs, "embedding", "vec_id", dim=64, threshold=0.9,
+        n_planes=8, n_bands=4, max_bucket=300,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_minute": _q_rollup_minute,
@@ -528,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_signatures": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
+        "cosine_near_dup": _q_cosine_near_dup,
         "ivf_topk": _q_ivf_topk,
     }
 
@@ -772,6 +798,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": """
             SELECT vec_id, cosine
             FROM read_parquet('/root/repo/fixtures/ann_lsh_topk_sf001.parquet')
+        """,
+        "cosine_near_dup": """
+            SELECT id_a, id_b, cosine
+            FROM read_parquet('/root/repo/fixtures/cosine_near_dup_sf001.parquet')
         """,
         "ivf_topk": """
             SELECT vec_id, cosine

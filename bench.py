@@ -3,11 +3,14 @@
 Workloads:
 - crawl pipeline (the north-star path): synthesized pages parquet →
   1-minute rollup → hour/day/week tier chain → checksum (forces full
-  materialization). Reports rolled-up points/sec.
+  materialization). Reports rolled-up points/sec, plus the SEPARATE
+  rollup→Gorilla-compress points/sec (the two kinds of work never share
+  one metric).
 - contract queries on $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
-- two-parallelism scaling: the same crawl pipeline at local[N/4] and
-  local[N] on the identical parquet input (sandbox proxy for N vs 4N
-  executors, BASELINE.json north_rule) → scaling_efficiency.
+- three-level scaling: the rollup→encode job at local[2]/[4]/[8] on the
+  identical parquet input (sandbox proxy for N vs 4N executors,
+  BASELINE.json north_rule) → median-ratio efficiency + a throughput-
+  per-core regression slope.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 SPARK_GRAFT_BENCH_EVENTS (pages scale, default 4_000_000),
@@ -225,6 +228,13 @@ def main() -> None:
         (crawl_pipeline(spark) for _ in range(2)), key=lambda t: t[0]
     )
     timings["crawl_rollup_tiers"] = round(crawl_secs, 3)
+    # rollup+compress measured SEPARATELY from rollup+tier-chain so the
+    # two kinds of work never share one points/sec number (round-2 lesson:
+    # a single conflated metric made the trend unreadable across rounds)
+    compress_secs, compress_pts = min(
+        (scale_job(spark) for _ in range(2)), key=lambda t: t[0]
+    )
+    timings["crawl_rollup_compress"] = round(compress_secs, 3)
     timings["crawl_gapfill"] = round(min(gapfill_bench(spark) for _ in range(2)), 3)
     timings["crawl_impute_512"] = round(min(impute_bench(spark) for _ in range(2)), 3)
     timings.update(contract_queries(spark, sf_dir))
@@ -238,68 +248,89 @@ def main() -> None:
         "sf": sf,
         "queries": timings,
         "minute_tier_rows": minute_rows,
+        # rollup → hour/day/week tier chain, NO compression (r1-comparable)
         "rolled_points_per_sec": round(points_per_sec, 1),
+        # rollup → window-salted Gorilla encode of the minute tier
+        "rolled_compressed_points_per_sec": round(compress_pts / compress_secs, 1),
         "bench_events": n_events,
         "gorilla": codec,
     }
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        # N vs 4N cores. Default pair (2, 8) sits well inside this box's
+        # Three parallelism levels (default 2, 4, 8) well inside this box's
         # cores (8→32 hits a memory-bandwidth/co-tenant ceiling ~0.62, see
         # BENCH.md calibrations). On a real cluster N→4N executors are
-        # whole machines, matching the 2→8 shape.
+        # whole machines, matching the 2→8 shape; the extra middle level
+        # turns the single hi/lo ratio into a throughput-per-core
+        # regression, which one noisy leg can't fake.
         #
         # Each measurement runs in a FRESH taskset-pinned subprocess
         # (scripts/scale_runner.py): pinning caps the JVM's GC/shuffle
         # threads and the Python Arrow workers to exactly the advertised
         # core budget — an unpinned local[2] silently uses extra cores and
         # inflates the lo baseline (round-1's 0.719 artifact).
+        import statistics
         import subprocess
 
         lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo_cpus * 4)))
-        pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "4"))
+        mid_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_MID", str(lo_cpus * 2)))
+        levels = sorted({lo_cpus, mid_cpus, hi_cpus})
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
         here = os.path.dirname(os.path.abspath(__file__))
 
-        def run_pinned(c: int) -> float:
+        def run_pinned(c: int) -> tuple[float, int]:
             cores = f"0-{c - 1}"
             cmd = [
                 "taskset", "-c", cores, sys.executable,
                 os.path.join(here, "scripts", "scale_runner.py"), str(c), "--warm",
             ]
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-            return float(json.loads(out.stdout.strip().splitlines()[-1])["secs"])
+            parsed = json.loads(out.stdout.strip().splitlines()[-1])
+            return float(parsed["secs"]), int(parsed["rows"])
 
-        # co-tenant load on this shared box drifts on minute scales, so lo
-        # and hi are measured in interleaved (hi, lo) pairs; the headline
-        # efficiency is the best (quietest-phase) pair — co-tenant noise
-        # only ever *lowers* a pair's ratio, it cannot raise it above the
-        # true machine scaling — with the median alongside for context.
-        pair_results = []
-        for _ in range(pairs):
-            hi_s = run_pinned(hi_cpus)
-            lo_s = run_pinned(lo_cpus)
-            pair_results.append((hi_s, lo_s, lo_s / hi_s))
-        pair_results.sort(key=lambda p: p[2])
-        hi_best, lo_best, speedup = pair_results[-1]
-        speedup_med = pair_results[len(pair_results) // 2][2]
+        # co-tenant load on this shared box drifts on minute scales, so the
+        # levels are measured in interleaved rounds (hi→lo within a round).
+        # HEADLINE = the median hi/lo ratio: noise on the lo leg of one
+        # round *raises* that round's ratio, so max-over-rounds is an
+        # upward-biased estimator — the best round is reported only as the
+        # quietest-phase sample, never as the claim.
+        secs: dict[int, list[float]] = {c: [] for c in levels}
+        job_rows = 0
+        for _ in range(rounds):
+            for c in sorted(levels, reverse=True):
+                s, job_rows = run_pinned(c)
+                secs[c].append(s)
+        ratios = sorted(l / h for l, h in zip(secs[lo_cpus], secs[hi_cpus]))
+        speedup_med = statistics.median(ratios)
+        best = {c: min(v) for c, v in secs.items()}
+        # throughput-per-core regression across the levels (quietest run
+        # per level): OLS slope vs the ideal slope set by the lo level
+        thr = {c: job_rows / best[c] for c in levels}
+        xs = [float(c) for c in levels]
+        ys = [thr[c] for c in levels]
+        xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
+        slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+            (x - xbar) ** 2 for x in xs
+        )
+        ideal_per_core = thr[lo_cpus] / lo_cpus
         result["scaling"] = {
             "job": "scan -> 1-minute rollup -> window-salted Gorilla encode (one linear action)",
-            "cpus_lo": lo_cpus,
-            "cpus_hi": hi_cpus,
-            "secs_lo": round(lo_best, 3),
-            "secs_hi": round(hi_best, 3),
-            "points_per_sec_lo": round(minute_rows / lo_best, 1),
-            "points_per_sec_hi": round(minute_rows / hi_best, 1),
-            "pairs": [[round(h, 2), round(l, 2)] for h, l, _ in pair_results],
-            "speedup": round(speedup, 3),
-            "efficiency": round(speedup / (hi_cpus / lo_cpus), 3),
-            "efficiency_median": round(speedup_med / (hi_cpus / lo_cpus), 3),
+            "cpus": levels,
+            "secs": {str(c): [round(s, 2) for s in secs[c]] for c in levels},
+            "points_per_sec": {str(c): round(thr[c], 1) for c in levels},
+            "speedup": round(speedup_med, 3),
+            "efficiency": round(speedup_med / (hi_cpus / lo_cpus), 3),
+            "efficiency_best_round": round(max(ratios) / (hi_cpus / lo_cpus), 3),
+            "slope_points_per_core": round(slope, 1),
+            "slope_ideal_fraction": round(slope / ideal_per_core, 3),
             "note": (
                 "taskset-pinned fresh-JVM subprocesses per measurement; "
-                "interleaved hi/lo pairs; headline = quietest-phase pair "
-                "(co-tenant noise only lowers ratios), median alongside; "
-                "see BENCH.md calibrations"
+                "interleaved rounds across 3 parallelism levels; headline "
+                "efficiency = MEDIAN lo/hi ratio (lo-leg noise inflates a "
+                "round's ratio, so best-round is only a quietest-phase "
+                "bound); slope_ideal_fraction = OLS throughput-per-core "
+                "slope vs the lo-level ideal; see BENCH.md calibrations"
             ),
         }
 

@@ -102,3 +102,31 @@ def test_csv_panel_rsc_end_to_end(spark, tmp_path):
     post_mean = treated_mean[len([y for y in years if y <= train_end]):]
     rmse = float(np.sqrt(np.mean((pred["prediction"].to_numpy() - post_mean) ** 2)))
     assert rmse < 0.3
+
+
+def test_stateful_quantum_rounding_matches_decimal_half_up(spark):
+    """Values landing exactly on a half 1e-9 quantum must round like
+    Spark's Decimal cast (HALF_UP, away from zero) — not pandas banker's
+    rounding — or streaming and batch sums diverge by 1e-9."""
+    from tslib_spark.streaming.stateful import SCALE, _accumulate
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, t):
+            self.stored = t
+
+    # 2.5e-9 and 3.5e-9: banker's gives 2 and 4; HALF_UP gives 3 and 4.
+    # -2.5e-9: HALF_UP (away from zero) gives -3.
+    vals = [2.5e-9, 3.5e-9, -2.5e-9]
+    st = FakeState()
+    out = list(_accumulate(("k",), [pd.DataFrame({"value": vals})], st))
+    got = out[0]["val_sum_scaled"].iloc[0]
+
+    want = (
+        spark.createDataFrame(pd.DataFrame({"v": vals}))
+        .select((F.sum(F.col("v").cast("decimal(38,9)")) * SCALE).cast("long").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == want == 4  # 3 + 4 - 3

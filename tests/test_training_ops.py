@@ -223,9 +223,59 @@ def test_multimodal_plumbing(spark):
     for i in range(20):
         np.testing.assert_array_equal(first.loc[i, "features"], again.loc[i, "features"])
 
-    # real decode path raises cleanly at execution
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    # unknown formats raise cleanly at execution (codec libs absent)
+    with pytest.raises(Exception, match="NotImplementedError|external media libs"):
         decode_media(media, fake=False).collect()
+
+
+def _ppm_bytes(w: int, h: int) -> tuple[bytes, np.ndarray]:
+    rng = np.random.default_rng(w * 1000 + h)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + rgb.tobytes(), rgb
+
+
+def _wav_bytes(rate: int, seconds: float, freq: float = 440.0) -> tuple[bytes, np.ndarray]:
+    import struct
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    data = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    riff = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return riff, x.astype(np.float64) / 32768.0
+
+
+def test_multimodal_real_decode_ppm_wav(spark):
+    """The REAL decode branch: PPM and WAV parse with no external libs.
+    Metadata (width/height/duration) comes from the actual headers and the
+    features match an independent numpy oracle."""
+    ppm, rgb = _ppm_bytes(13, 9)  # dims not divisible by the 8x8 pool grid
+    wav, samples = _wav_bytes(8000, 0.5)
+    pdf = pd.DataFrame({"doc_id": [1, 2], "blob": [ppm, wav]})
+    media = make_media_table(spark.createDataFrame(pdf), "doc_id", "blob", "mixed")
+    got = decode_media(media, fake=False).toPandas().set_index("media_id")
+
+    img = got.loc[1]
+    assert (img["mime"], img["width"], img["height"]) == ("image/x-portable-pixmap", 13, 9)
+    gray = (rgb.astype(np.float64) / 255.0) @ np.array([0.299, 0.587, 0.114])
+    ri = np.minimum((np.arange(9) * 8) // 9, 7)
+    ci = np.minimum((np.arange(13) * 8) // 13, 7)
+    cell = (ri[:, None] * 8 + ci[None, :]).ravel()
+    want = np.bincount(cell, weights=gray.ravel(), minlength=64) / np.bincount(cell, minlength=64)
+    np.testing.assert_allclose(np.asarray(img["features"]), want, atol=1e-12)
+
+    aud = got.loc[2]
+    assert aud["mime"] == "audio/wav" and aud["duration_ms"] == 500
+    bins = np.minimum((np.arange(len(samples)) * 64) // len(samples), 63)
+    wantf = np.bincount(bins, weights=np.abs(samples), minlength=64) / np.bincount(
+        bins, minlength=64
+    )
+    np.testing.assert_allclose(np.asarray(aud["features"]), wantf, atol=1e-12)
 
 
 def test_frame_sample_plan(spark):

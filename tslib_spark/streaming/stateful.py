@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -38,8 +39,14 @@ def _accumulate(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
             # round each value to the 1e-9 quantum BEFORE summing (exact
             # int64 adds), matching the batch tier's cast-to-decimal(38,9)
             # -then-sum semantics; a float64 batch sum rounded once can
-            # drift past the quantum on large batches (~n*eps*sum|x|)
-            vsum += int(vals.mul(SCALE).round().astype("int64").sum())
+            # drift past the quantum on large batches (~n*eps*sum|x|).
+            # The quantum rounding must be HALF_UP (away from zero) like
+            # Spark's Decimal cast — pandas .round() is banker's
+            # half-to-even, which diverges by 1e-9 on exact half-quantum
+            # values (e.g. 2.5e-9) and breaks streaming/batch parity.
+            v = vals.to_numpy(dtype="float64")
+            scaled = np.sign(v) * np.floor(np.abs(v) * SCALE + 0.5)
+            vsum += int(scaled.astype("int64").sum())
             vmin = min(vmin, float(vals.min()))
             vmax = max(vmax, float(vals.max()))
     state.update((cnt, vsum, vmin, vmax))
