@@ -369,9 +369,10 @@ def _q_json_props(spark, sf_dir):
     )
 
 
-def _q_token_jaccard(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs (exact, SQL-expressible variant of
-    the shingle pipeline) over a small doc prefix."""
+def _jaccard_pairs(spark, sf_dir, threshold: float) -> DataFrame:
+    """Token-set Jaccard near-dup pairs over the doc_id<60 prefix —
+    (id_a, id_b, jaccard), the shared pair source for the token_jaccard,
+    doc_components and dedup_canonical queries."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
@@ -385,15 +386,84 @@ def _q_token_jaccard(spark, sf_dir):
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    out = (
+    return (
         pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
         .select(
             "id_a", "id_b",
             (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
-    return out
+
+
+def _q_token_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs (exact, SQL-expressible variant of
+    the shingle pipeline) over a small doc prefix."""
+    return _jaccard_pairs(spark, sf_dir, 0.5)
+
+
+def _q_doc_components(spark, sf_dir):
+    """Near-dup clusters: Jaccard-0.7 pairs → alternating large-star/
+    small-star connected components (operators/components.py) → every doc
+    labeled with its component's min id (isolated docs = singletons). The
+    DuckDB oracle computes the same fixpoint with a recursive CTE."""
+    from tslib_spark.operators.components import connected_components
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = _jaccard_pairs(spark, sf_dir, 0.7)
+    return connected_components(pairs, nodes=docs.select("doc_id")).orderBy("id")
+
+
+def _q_dedup_canonical(spark, sf_dir):
+    """End-to-end near-dup dedup: cluster the Jaccard-0.7 pair graph and
+    keep ONE doc (min id) per cluster, annotated with the cluster size —
+    the actual corpus-shrinking step a training pipeline runs."""
+    from tslib_spark.operators.components import dedup_keep_canonical
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = _jaccard_pairs(spark, sf_dir, 0.7)
+    return dedup_keep_canonical(docs, "doc_id", pairs).select(
+        "doc_id", "cluster_size", "lang", "source"
+    )
+
+
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: one xxhash64 codegen
+    expression, signed-long threshold buckets (operators/sampling.py).
+    The frozen oracle replays the pure-Python xxh64 replica proven
+    bit-equal to Spark's (tests/test_oracle_xxh64.py)."""
+    from tslib_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 8.0, "val": 1.0, "test": 1.0}, seed=7
+    ).select("doc_id", "split")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (en 50%, de 100%, rest 20%)
+    — a single codegen CASE over the id hash, no shuffle."""
+    from tslib_spark.operators.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(
+        docs, "doc_id", rate=0.2, seed=11, strata_col="lang",
+        rates={"en": 0.5, "de": 1.0},
+    ).select("doc_id", "lang")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: every doc labeled with the
+    4096-token training bin its first token lands in, via the two-pass
+    distributed prefix sum (operators/packing.py) — bit-equal to the
+    oracle's single global window at any partition count."""
+    from tslib_spark.operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(docs, "n_tokens", "doc_id", 4096, num_partitions=8)
 
 
 def _q_asof_join(spark, sf_dir):
@@ -543,6 +613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "json_props": _q_json_props,
         "token_jaccard": _q_token_jaccard,
+        "doc_components": _q_doc_components,
+        "dedup_canonical": _q_dedup_canonical,
+        "pack_sequences": _q_pack_sequences,
+        "hash_split": _q_hash_split,
+        "stratified_sample": _q_stratified_sample,
         # kernel-backed / engine-divergent, rows-only:
         "gorilla_roundtrip": _q_gorilla_roundtrip,
         "als_impute": _q_als_impute,
@@ -556,6 +631,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": _q_cosine_near_dup,
         "ivf_topk": _q_ivf_topk,
     }
+
+
+# Jaccard-0.7 pair graph over doc_id<60 → reachability closure (the DuckDB
+# recursive-CTE oracle for the large-star/small-star operator): reach(id,
+# comp) holds every (node, reachable node) pair; min(comp) per id = the
+# component label. Shared by doc_components and dedup_canonical.
+_CC_CTE = """
+            WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+            toks AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT id_a, id_b FROM cand
+              JOIN sizes sa ON cand.id_a = sa.doc_id
+              JOIN sizes sb ON cand.id_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.7),
+            sym AS (SELECT id_a AS s, id_b AS t FROM edges
+                    UNION SELECT id_b, id_a FROM edges),
+            reach(id, comp) AS (
+              SELECT doc_id, doc_id FROM d
+              UNION
+              SELECT e.t, r.comp FROM reach r JOIN sym e ON e.s = r.id
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -834,5 +937,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON pairs.id_a = sa.doc_id
             JOIN sizes sb ON pairs.id_b = sb.doc_id
             WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        """,
+        "doc_components": f"""
+            {_CC_CTE}
+            SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id
+        """,
+        "dedup_canonical": f"""
+            {_CC_CTE},
+            labels AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+            csizes AS (SELECT component, count(*) AS cluster_size
+                       FROM labels GROUP BY component)
+            SELECT l.id AS doc_id, s.cluster_size, d2.lang, d2.source
+            FROM labels l
+            JOIN csizes s ON l.component = s.component
+            JOIN documents d2 ON d2.doc_id = l.id
+            WHERE l.id = l.component
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(excl // 4096 AS BIGINT) AS bin_id,
+                   CAST(excl % 4096 AS BIGINT) AS bin_offset
+            FROM c
+        """,
+        "hash_split": """
+            SELECT doc_id, split
+            FROM read_parquet('/root/repo/fixtures/hash_split_sf001.parquet')
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang
+            FROM read_parquet('/root/repo/fixtures/stratified_sample_sf001.parquet')
         """,
     }

@@ -197,7 +197,8 @@ def contract_queries(spark, sf_dir: str) -> dict[str, float]:
         "rmse_hidden", "sessionize", "topk_users", "tpch_q1ish",
         "join_filter_project", "dedup_exact", "token_stats", "minhash_near_dup",
         "simhash_signatures", "ann_cosine_topk", "ivf_topk", "gorilla_roundtrip",
-        "svd_impute", "svd_forecast",
+        "svd_impute", "svd_forecast", "cosine_near_dup", "doc_components",
+        "pack_sequences", "hash_split",
     ]
     qs = entrymod.queries()
     out = {}
@@ -209,6 +210,96 @@ def contract_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _scaling(result: dict) -> None:
+    """Pinned multi-level scaling protocol; writes result["scaling"].
+
+    Three parallelism levels (default 2, 4, 8) well inside this box's
+    cores (8→32 hits a memory-bandwidth/co-tenant ceiling ~0.62, see
+    BENCH.md calibrations). On a real cluster N→4N executors are
+    whole machines, matching the 2→8 shape; the extra middle level
+    turns the single hi/lo ratio into a throughput-per-core
+    regression, which one noisy leg can't fake.
+
+    Each measurement runs in a FRESH taskset-pinned subprocess
+    (scripts/scale_runner.py): pinning caps the JVM's GC/shuffle
+    threads and the Python Arrow workers to exactly the advertised
+    core budget — an unpinned local[2] silently uses extra cores and
+    inflates the lo baseline (round-1's 0.719 artifact).
+    """
+    import statistics
+    import subprocess
+
+    lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+    hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo_cpus * 4)))
+    mid_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_MID", str(lo_cpus * 2)))
+    levels = sorted({lo_cpus, mid_cpus, hi_cpus})
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "4"))
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def run_pinned(c: int) -> tuple[float, int]:
+        cores = f"0-{c - 1}"
+        cmd = [
+            "taskset", "-c", cores, sys.executable,
+            os.path.join(here, "scripts", "scale_runner.py"), str(c), "--warm",
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        parsed = json.loads(out.stdout.strip().splitlines()[-1])
+        return float(parsed["secs"]), int(parsed["rows"])
+
+    # co-tenant load on this shared box drifts on minute scales, so the
+    # levels are measured in interleaved rounds (hi→lo within a round).
+    # HEADLINE = the median hi/lo ratio: noise on the lo leg of one
+    # round *raises* that round's ratio, so max-over-rounds is an
+    # upward-biased estimator — the best round is reported only as the
+    # quietest-phase sample, never as the claim.
+    secs: dict[int, list[float]] = {c: [] for c in levels}
+    job_rows = 0
+    for _ in range(rounds):
+        for c in sorted(levels, reverse=True):
+            s, job_rows = run_pinned(c)
+            secs[c].append(s)
+    ratios = sorted(l / h for l, h in zip(secs[lo_cpus], secs[hi_cpus]))
+    speedup_med = statistics.median(ratios)
+    best = {c: min(v) for c, v in secs.items()}
+    # ratio-of-mins: co-tenant noise only ever ADDS time, so the per-level
+    # min over interleaved rounds approximates the unloaded machine on
+    # BOTH legs simultaneously — unlike max-over-round-ratios it cannot
+    # be inflated by a noisy lo leg. Reported as the secondary statistic.
+    speedup_mins = best[lo_cpus] / best[hi_cpus]
+    # throughput-per-core regression across the levels (quietest run
+    # per level): OLS slope vs the ideal slope set by the lo level
+    thr = {c: job_rows / best[c] for c in levels}
+    xs = [float(c) for c in levels]
+    ys = [thr[c] for c in levels]
+    xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
+    slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+        (x - xbar) ** 2 for x in xs
+    )
+    ideal_per_core = thr[lo_cpus] / lo_cpus
+    result["scaling"] = {
+        "job": "scan -> 1-minute rollup -> window-salted Gorilla encode (one linear action)",
+        "cpus": levels,
+        "secs": {str(c): [round(s, 2) for s in secs[c]] for c in levels},
+        "points_per_sec": {str(c): round(thr[c], 1) for c in levels},
+        "speedup": round(speedup_med, 3),
+        "efficiency": round(speedup_med / (hi_cpus / lo_cpus), 3),
+        "efficiency_ratio_of_mins": round(speedup_mins / (hi_cpus / lo_cpus), 3),
+        "efficiency_best_round": round(max(ratios) / (hi_cpus / lo_cpus), 3),
+        "slope_points_per_core": round(slope, 1),
+        "slope_ideal_fraction": round(slope / ideal_per_core, 3),
+        "note": (
+            "taskset-pinned fresh-JVM subprocesses per measurement; "
+            "interleaved rounds across 3 parallelism levels; headline "
+            "efficiency = MEDIAN lo/hi ratio (lo-leg noise inflates a "
+            "round's ratio, so best-round is only a quietest-phase "
+            "bound); ratio_of_mins = per-level min ratio (noise-robust "
+            "secondary, noise only adds time); slope_ideal_fraction = "
+            "OLS throughput-per-core slope vs the lo-level ideal; see "
+            "BENCH.md calibrations"
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -216,9 +307,25 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     timings: dict[str, float] = {}
+    # SPARK_GRAFT_SCALING_ONLY=1 skips the workload phase entirely — cheap
+    # repeated runs of the pinned scaling protocol for BENCH.md calibration
+    scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
 
     spark = get_spark("bench", master=f"local[{cpus}]")
     ensure_pages(spark, n_events)
+    if scaling_only:
+        spark.stop()
+        result = {
+            "metric": "scaling protocol only",
+            "unit": "sec",
+            "sf": sf,
+            "queries": {},
+            "bench_events": n_events,
+        }
+        _scaling(result)
+        result["value"] = 0.0
+        print(json.dumps(result))
+        return
 
     # JIT/codegen warm-up dominates first executions (5s warm vs 20s+ cold
     # for the same plan) — warm the whole job mix once, then measure min-of-2.
@@ -257,82 +364,7 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        # Three parallelism levels (default 2, 4, 8) well inside this box's
-        # cores (8→32 hits a memory-bandwidth/co-tenant ceiling ~0.62, see
-        # BENCH.md calibrations). On a real cluster N→4N executors are
-        # whole machines, matching the 2→8 shape; the extra middle level
-        # turns the single hi/lo ratio into a throughput-per-core
-        # regression, which one noisy leg can't fake.
-        #
-        # Each measurement runs in a FRESH taskset-pinned subprocess
-        # (scripts/scale_runner.py): pinning caps the JVM's GC/shuffle
-        # threads and the Python Arrow workers to exactly the advertised
-        # core budget — an unpinned local[2] silently uses extra cores and
-        # inflates the lo baseline (round-1's 0.719 artifact).
-        import statistics
-        import subprocess
-
-        lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
-        hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo_cpus * 4)))
-        mid_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_MID", str(lo_cpus * 2)))
-        levels = sorted({lo_cpus, mid_cpus, hi_cpus})
-        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
-        here = os.path.dirname(os.path.abspath(__file__))
-
-        def run_pinned(c: int) -> tuple[float, int]:
-            cores = f"0-{c - 1}"
-            cmd = [
-                "taskset", "-c", cores, sys.executable,
-                os.path.join(here, "scripts", "scale_runner.py"), str(c), "--warm",
-            ]
-            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-            parsed = json.loads(out.stdout.strip().splitlines()[-1])
-            return float(parsed["secs"]), int(parsed["rows"])
-
-        # co-tenant load on this shared box drifts on minute scales, so the
-        # levels are measured in interleaved rounds (hi→lo within a round).
-        # HEADLINE = the median hi/lo ratio: noise on the lo leg of one
-        # round *raises* that round's ratio, so max-over-rounds is an
-        # upward-biased estimator — the best round is reported only as the
-        # quietest-phase sample, never as the claim.
-        secs: dict[int, list[float]] = {c: [] for c in levels}
-        job_rows = 0
-        for _ in range(rounds):
-            for c in sorted(levels, reverse=True):
-                s, job_rows = run_pinned(c)
-                secs[c].append(s)
-        ratios = sorted(l / h for l, h in zip(secs[lo_cpus], secs[hi_cpus]))
-        speedup_med = statistics.median(ratios)
-        best = {c: min(v) for c, v in secs.items()}
-        # throughput-per-core regression across the levels (quietest run
-        # per level): OLS slope vs the ideal slope set by the lo level
-        thr = {c: job_rows / best[c] for c in levels}
-        xs = [float(c) for c in levels]
-        ys = [thr[c] for c in levels]
-        xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
-        slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
-            (x - xbar) ** 2 for x in xs
-        )
-        ideal_per_core = thr[lo_cpus] / lo_cpus
-        result["scaling"] = {
-            "job": "scan -> 1-minute rollup -> window-salted Gorilla encode (one linear action)",
-            "cpus": levels,
-            "secs": {str(c): [round(s, 2) for s in secs[c]] for c in levels},
-            "points_per_sec": {str(c): round(thr[c], 1) for c in levels},
-            "speedup": round(speedup_med, 3),
-            "efficiency": round(speedup_med / (hi_cpus / lo_cpus), 3),
-            "efficiency_best_round": round(max(ratios) / (hi_cpus / lo_cpus), 3),
-            "slope_points_per_core": round(slope, 1),
-            "slope_ideal_fraction": round(slope / ideal_per_core, 3),
-            "note": (
-                "taskset-pinned fresh-JVM subprocesses per measurement; "
-                "interleaved rounds across 3 parallelism levels; headline "
-                "efficiency = MEDIAN lo/hi ratio (lo-leg noise inflates a "
-                "round's ratio, so best-round is only a quietest-phase "
-                "bound); slope_ideal_fraction = OLS throughput-per-core "
-                "slope vs the lo-level ideal; see BENCH.md calibrations"
-            ),
-        }
+        _scaling(result)
 
     result["value"] = round(sum(timings.values()), 3)
     print(json.dumps(result))
