@@ -466,6 +466,41 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "n_tokens", "doc_id", 4096, num_partitions=8)
 
 
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per doc: duplicate-token
+    fraction (pure codegen), top-bigram share and duplicated-bigram
+    fraction (explode → map-side-combined groupBy, the 100 TB histogram
+    shape). Shares round(9) with the oracle to absorb double division."""
+    from tslib_spark.operators.repetition import repetition_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    out = repetition_signals(docs, "doc_id", "text", n=2)
+    return out.select(
+        "doc_id", "total_tokens", "ngram_total",
+        F.round("dup_token_frac", 9).alias("dup_token_frac"),
+        F.round("top_ngram_share", 9).alias("top_ngram_share"),
+        F.round("dup_ngram_frac", 9).alias("dup_ngram_frac"),
+    )
+
+
+def _q_near_dup_clusters(spark, sf_dir):
+    """The full fuzzy-dedup composition a training pipeline actually runs:
+    MinHash signatures → banded LSH candidates → exact-Jaccard verify
+    (operators/dedup.py) → large-star/small-star connected components
+    (operators/components.py). Labels every doc that has at least one
+    verified near-dup with its cluster's min id. The oracle replays the
+    reachability fixpoint (recursive CTE) over the frozen pair fixture,
+    itself proven bit-equal to the pure-Python xxh64 pipeline."""
+    from tslib_spark.operators.components import connected_components
+    from tslib_spark.operators.dedup import near_dup_minhash
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = near_dup_minhash(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    return connected_components(pairs).orderBy("id")
+
+
 def _q_asof_join(spark, sf_dir):
     """Each event joined to the most recent PRIOR event value of the same
     user (as-of semantics, union-tag + running window implementation)."""
@@ -614,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "token_jaccard": _q_token_jaccard,
         "doc_components": _q_doc_components,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "repetition_signals": _q_repetition_signals,
         "dedup_canonical": _q_dedup_canonical,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
@@ -895,6 +932,55 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": """
             SELECT doc_id, simhash
             FROM read_parquet('/root/repo/fixtures/simhash_signatures_sf001.parquet')
+        """,
+        "repetition_signals": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> len(t) > 0) AS t
+              FROM documents),
+            ng AS (
+              SELECT doc_id, len(t) AS total_tokens,
+                     len(list_distinct(t)) AS distinct_tokens,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1),
+                                              i -> concat_ws(' ', t[i], t[i+1]))
+                          ELSE [] END AS grams
+              FROM toks),
+            flat AS (
+              SELECT doc_id, unnest(grams) AS ngram FROM ng),
+            hist AS (
+              SELECT doc_id, ngram, count(*) AS cnt FROM flat GROUP BY 1, 2),
+            stats AS (
+              SELECT doc_id, sum(cnt) AS ngram_total, max(cnt) AS top_cnt,
+                     sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+              FROM hist GROUP BY doc_id)
+            SELECT ng.doc_id,
+                   CAST(ng.total_tokens AS BIGINT) AS total_tokens,
+                   CAST(COALESCE(s.ngram_total, 0) AS BIGINT) AS ngram_total,
+                   round(CASE WHEN ng.total_tokens > 0
+                         THEN 1.0 - CAST(ng.distinct_tokens AS DOUBLE) / ng.total_tokens
+                         ELSE 0.0 END, 9) AS dup_token_frac,
+                   round(COALESCE(CAST(s.top_cnt AS DOUBLE) / s.ngram_total, 0.0), 9)
+                     AS top_ngram_share,
+                   round(COALESCE(CAST(s.dup_cnt AS DOUBLE) / s.ngram_total, 0.0), 9)
+                     AS dup_ngram_frac
+            FROM ng LEFT JOIN stats s ON ng.doc_id = s.doc_id
+        """,
+        "near_dup_clusters": """
+            WITH RECURSIVE sym AS (
+              SELECT id_a AS s, id_b AS t
+              FROM read_parquet('/root/repo/fixtures/minhash_near_dup_sf001.parquet')
+              UNION
+              SELECT id_b, id_a
+              FROM read_parquet('/root/repo/fixtures/minhash_near_dup_sf001.parquet')
+            ),
+            reach(id, comp) AS (
+              SELECT DISTINCT s, s FROM sym
+              UNION
+              SELECT e.t, r.comp FROM reach r JOIN sym e ON e.s = r.id
+            )
+            SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id
         """,
         # bit-exact float fixture: the JVM's aggregate() sums are strict
         # left-to-right, replicated verbatim in freeze_ann_lsh

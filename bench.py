@@ -236,8 +236,13 @@ def _scaling(result: dict) -> None:
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "4"))
     here = os.path.dirname(os.path.abspath(__file__))
 
+    # pin away from core 0 by default: host IRQ handling and daemons land
+    # on the lowest cores, so a 2-core leg pinned to 0-1 eats interference
+    # the 8-core leg amortizes — an asymmetric bias against the lo leg
+    base = int(os.environ.get("SPARK_GRAFT_SCALE_CORE_BASE", "16"))
+
     def run_pinned(c: int) -> tuple[float, int]:
-        cores = f"0-{c - 1}"
+        cores = f"{base}-{base + c - 1}"
         cmd = [
             "taskset", "-c", cores, sys.executable,
             os.path.join(here, "scripts", "scale_runner.py"), str(c), "--warm",
