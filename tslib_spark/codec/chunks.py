@@ -167,29 +167,38 @@ def decode_chunks(
     ts_col: str = "bucket_idx",
     value_col: str = "value",
 ) -> DataFrame:
-    """Compressed chunk rows → tidy series rows (inverse of encode_chunks)."""
-    key_fields = ", ".join(f"`{k}` string" for k in keys)
-    schema = f"{key_fields}, {ts_col} long, {value_col} double"
+    """Compressed chunk rows → tidy series rows (inverse of encode_chunks).
+
+    The Python→JVM Arrow crossing carries ``(_sid long, ts, value)`` per
+    decoded point — 8 bytes of series identity instead of the key strings
+    repeated per point (a ~50-byte url × chunk_size points per chunk on
+    crawl data). Key strings rejoin AFTER the crossing via a broadcast of
+    the distinct key→sid dictionary (one row per series, same bound the
+    encode side already relies on), as a codegen hash-join probe per row.
+    """
+    schema = f"_sid long, {ts_col} long, {value_col} double"
+    sid = F.xxhash64(*[F.col(k).cast("string") for k in keys])
+    sid_dict = chunks.select(*keys).distinct().withColumn("_sid", sid)
+    slim = chunks.select(sid.alias("_sid"), "ts_blob", "val_blob")
 
     def _decode(iterator):
         # column-wise loop over the blob arrays (never pdf.iterrows — that
-        # materializes a pandas Series per chunk row); key columns are
+        # materializes a pandas Series per chunk row); the sid column is
         # np.repeat-broadcast by decoded lengths, all vectorized.
         for pdf in iterator:
             if not len(pdf):
-                yield pd.DataFrame(columns=[*keys, ts_col, value_col])
+                yield pd.DataFrame(columns=["_sid", ts_col, value_col])
                 continue
             ts_all = [decode_timestamps(bytes(b)) for b in pdf["ts_blob"].to_numpy()]
             val_all = [decode_values(bytes(b)) for b in pdf["val_blob"].to_numpy()]
             lens = np.fromiter((t.size for t in ts_all), dtype=np.int64, count=len(ts_all))
-            out = pd.DataFrame(
-                {k: np.repeat(pdf[k].to_numpy(), lens) for k in keys}
-            )
+            out = pd.DataFrame({"_sid": np.repeat(pdf["_sid"].to_numpy(), lens)})
             out[ts_col] = np.concatenate(ts_all) if ts_all else np.empty(0, np.int64)
             out[value_col] = np.concatenate(val_all) if val_all else np.empty(0, np.float64)
             yield out
 
-    return chunks.mapInPandas(_decode, schema=schema)
+    points = slim.mapInPandas(_decode, schema=schema)
+    return points.join(F.broadcast(sid_dict), "_sid").select(*keys, ts_col, value_col)
 
 
 def chunk_stats(chunks: DataFrame) -> DataFrame:
