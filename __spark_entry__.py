@@ -466,6 +466,33 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "n_tokens", "doc_id", 4096, num_partitions=8)
 
 
+def _q_url_parse(spark, sf_dir):
+    """URL surgery as pure codegen (functions/web.py): synthesize a
+    deterministic URL per doc (testdata carries no url column), then
+    host/domain/path/query-param extraction + the normalized crawl-dedup
+    key. Spark parses with the JVM parse_url built-in; the oracle re-parses
+    the same strings with independent DuckDB regexps."""
+    from tslib_spark.functions.web import (
+        normalize_url, url_domain, url_host, url_path, url_query_param,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW.Site"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".Example.COM/p/"), F.col("doc_id").cast("string"),
+        F.lit("/view?lang="), F.col("lang"), F.lit("&ref=feed#frag"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        url_host(url).alias("host"),
+        url_domain(url).alias("domain"),
+        url_path(url).alias("path"),
+        url_query_param(url, "lang").alias("lang_param"),
+        normalize_url(url).alias("norm"),
+    )
+
+
 def _q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals per doc: duplicate-token
     fraction (pure codegen), top-bigram share and duplicated-bigram
@@ -651,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_components": _q_doc_components,
         "near_dup_clusters": _q_near_dup_clusters,
         "repetition_signals": _q_repetition_signals,
+        "url_parse": _q_url_parse,
         "dedup_canonical": _q_dedup_canonical,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
@@ -932,6 +960,27 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": """
             SELECT doc_id, simhash
             FROM read_parquet('/root/repo/fixtures/simhash_signatures_sf001.parquet')
+        """,
+        "url_parse": """
+            WITH u AS (
+              SELECT doc_id,
+                     concat('https://WWW.Site', CAST(doc_id % 7 AS VARCHAR),
+                            '.Example.COM/p/', CAST(doc_id AS VARCHAR),
+                            '/view?lang=', lang, '&ref=feed#frag') AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id, url,
+                     regexp_replace(
+                       lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+                       '^www\\.', '') AS host,
+                     regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS rawpath
+              FROM u)
+            SELECT doc_id, url, host,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+                   CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+                   regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+                   concat(host, CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) AS norm
+            FROM h
         """,
         "repetition_signals": """
             WITH toks AS (
