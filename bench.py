@@ -241,7 +241,7 @@ def _scaling(result: dict) -> None:
     # the 8-core leg amortizes — an asymmetric bias against the lo leg
     base = int(os.environ.get("SPARK_GRAFT_SCALE_CORE_BASE", "16"))
 
-    def run_pinned(c: int) -> tuple[float, int]:
+    def run_pinned(c: int) -> tuple[float, int, float]:
         cores = f"{base}-{base + c - 1}"
         cmd = [
             "taskset", "-c", cores, sys.executable,
@@ -249,7 +249,7 @@ def _scaling(result: dict) -> None:
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         parsed = json.loads(out.stdout.strip().splitlines()[-1])
-        return float(parsed["secs"]), int(parsed["rows"])
+        return float(parsed["secs"]), int(parsed["rows"]), float(parsed.get("steal_frac", 0.0))
 
     # co-tenant load on this shared box drifts on minute scales, so the
     # levels are measured in interleaved rounds (hi→lo within a round).
@@ -258,11 +258,13 @@ def _scaling(result: dict) -> None:
     # upward-biased estimator — the best round is reported only as the
     # quietest-phase sample, never as the claim.
     secs: dict[int, list[float]] = {c: [] for c in levels}
+    steals: dict[int, list[float]] = {c: [] for c in levels}
     job_rows = 0
     for _ in range(rounds):
         for c in sorted(levels, reverse=True):
-            s, job_rows = run_pinned(c)
+            s, job_rows, st = run_pinned(c)
             secs[c].append(s)
+            steals[c].append(st)
     ratios = sorted(l / h for l, h in zip(secs[lo_cpus], secs[hi_cpus]))
     speedup_med = statistics.median(ratios)
     best = {c: min(v) for c, v in secs.items()}
@@ -271,6 +273,21 @@ def _scaling(result: dict) -> None:
     # BOTH legs simultaneously — unlike max-over-round-ratios it cannot
     # be inflated by a noisy lo leg. Reported as the secondary statistic.
     speedup_mins = best[lo_cpus] / best[hi_cpus]
+    # steal-clean statistic: the box's only noise source is HYPERVISOR CPU
+    # steal (in-VM it idles), and scale_runner measures it per sample from
+    # /proc/stat on the pinned cores. A pair is clean when BOTH legs lost
+    # < 2% of their core-time to the host — those ratios estimate true
+    # machine scaling with the contaminated samples excluded by evidence,
+    # not by picking the flattering order statistic.
+    clean_thresh = float(os.environ.get("SPARK_GRAFT_STEAL_CLEAN", "0.02"))
+    clean_ratios = [
+        l / h
+        for l, h, sl, sh in zip(
+            secs[lo_cpus], secs[hi_cpus], steals[lo_cpus], steals[hi_cpus]
+        )
+        if sl < clean_thresh and sh < clean_thresh
+    ]
+    speedup_clean = statistics.median(clean_ratios) if clean_ratios else None
     # throughput-per-core regression across the levels (quietest run
     # per level): OLS slope vs the ideal slope set by the lo level
     thr = {c: job_rows / best[c] for c in levels}
@@ -285,9 +302,15 @@ def _scaling(result: dict) -> None:
         "job": "scan -> 1-minute rollup -> window-salted Gorilla encode (one linear action)",
         "cpus": levels,
         "secs": {str(c): [round(s, 2) for s in secs[c]] for c in levels},
+        "steal_frac": {str(c): [round(s, 4) for s in steals[c]] for c in levels},
         "points_per_sec": {str(c): round(thr[c], 1) for c in levels},
         "speedup": round(speedup_med, 3),
         "efficiency": round(speedup_med / (hi_cpus / lo_cpus), 3),
+        "efficiency_steal_clean": (
+            round(speedup_clean / (hi_cpus / lo_cpus), 3)
+            if speedup_clean is not None else None
+        ),
+        "clean_pairs": len(clean_ratios),
         "efficiency_ratio_of_mins": round(speedup_mins / (hi_cpus / lo_cpus), 3),
         "efficiency_best_round": round(max(ratios) / (hi_cpus / lo_cpus), 3),
         "slope_points_per_core": round(slope, 1),
@@ -295,10 +318,12 @@ def _scaling(result: dict) -> None:
         "note": (
             "taskset-pinned fresh-JVM subprocesses per measurement; "
             "interleaved rounds across 3 parallelism levels; headline "
-            "efficiency = MEDIAN lo/hi ratio (lo-leg noise inflates a "
-            "round's ratio, so best-round is only a quietest-phase "
-            "bound); ratio_of_mins = per-level min ratio (noise-robust "
-            "secondary, noise only adds time); slope_ideal_fraction = "
+            "efficiency = MEDIAN lo/hi ratio over all rounds; "
+            "efficiency_steal_clean = median over pairs where BOTH legs "
+            "measured < 2% hypervisor CPU steal on their pinned cores "
+            "(/proc/stat, the box's only noise source) — evidence-based "
+            "exclusion, preferred when clean_pairs >= 2; ratio_of_mins "
+            "and best_round are secondary bounds; slope_ideal_fraction = "
             "OLS throughput-per-core slope vs the lo-level ideal; see "
             "BENCH.md calibrations"
         ),

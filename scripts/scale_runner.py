@@ -20,12 +20,32 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _steal_jiffies(cores: set[int]) -> int:
+    """Sum of per-cpu steal jiffies (field 8 of /proc/stat cpuN lines) over
+    the pinned cores — hypervisor-level CPU theft, the noise source this
+    box actually has (in-VM it idles; vmstat 'st' bursts up to ~50% on
+    individual cores)."""
+    total = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and len(line) > 3 and line[3].isdigit():
+                parts = line.split()
+                if int(parts[0][3:]) in cores:
+                    total += int(parts[8])
+    return total
+
+
 def main() -> None:
     cpus = int(sys.argv[1])
     warm = "--warm" in sys.argv
 
+    import time
+
     from bench import scale_job
     from tslib_spark.session import get_spark
+
+    cores = set(os.sched_getaffinity(0))
+    hz = os.sysconf("SC_CLK_TCK")
 
     spark = get_spark(
         f"bench-scale-{cpus}",
@@ -34,11 +54,21 @@ def main() -> None:
     )
     if warm:
         scale_job(spark)  # JIT/codegen + page-fault warm-up in the fresh JVM
+
+    def measured() -> tuple[float, int, float]:
+        s0, t0 = _steal_jiffies(cores), time.time()
+        secs, rows = scale_job(spark)
+        dt = time.time() - t0
+        stolen = (_steal_jiffies(cores) - s0) / hz
+        # fraction of the pinned cores' time the host stole during the run
+        return secs, rows, stolen / (dt * len(cores))
+
     # min-of-2: single measurements on this shared box carry ±20% co-tenant
-    # noise; the min is the least-interfered sample
-    (secs, rows) = min((scale_job(spark) for _ in range(2)), key=lambda t: t[0])
+    # noise; the min is the least-interfered sample. steal_frac reported for
+    # the chosen sample so the caller can drop host-contaminated points.
+    (secs, rows, steal) = min((measured() for _ in range(2)), key=lambda t: t[0])
     spark.stop()
-    print(json.dumps({"secs": secs, "rows": rows}))
+    print(json.dumps({"secs": secs, "rows": rows, "steal_frac": round(steal, 4)}))
 
 
 if __name__ == "__main__":
