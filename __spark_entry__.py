@@ -562,7 +562,11 @@ def _q_gorilla_roundtrip(spark, sf_dir):
         F.col("value"),
     )
     chunks = encode_chunks(tidy, ["series_key"])
-    return decode_chunks(chunks, ["series_key"])
+    # key_dict from the source scan: without it, the decode-side sid
+    # dictionary subtree would re-run the (still-lazy) encode kernels
+    return decode_chunks(
+        chunks, ["series_key"], key_dict=tidy.select("series_key").distinct()
+    )
 
 
 def _q_als_impute(spark, sf_dir):

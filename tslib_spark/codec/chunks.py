@@ -166,6 +166,7 @@ def decode_chunks(
     keys: list[str],
     ts_col: str = "bucket_idx",
     value_col: str = "value",
+    key_dict: DataFrame | None = None,
 ) -> DataFrame:
     """Compressed chunk rows → tidy series rows (inverse of encode_chunks).
 
@@ -175,10 +176,19 @@ def decode_chunks(
     crawl data). Key strings rejoin AFTER the crossing via a broadcast of
     the distinct key→sid dictionary (one row per series, same bound the
     encode side already relies on), as a codegen hash-join probe per row.
+
+    ``key_dict``: optional DataFrame holding exactly the distinct key
+    columns (the sid is derived in here). By default the dictionary is
+    built from ``chunks`` itself — cheap when chunks come from storage (a
+    pruned column scan), but if ``chunks`` is a still-lazy encode_chunks
+    result the dictionary subtree re-runs the encode kernels; pass the
+    source table's ``df.select(*keys).distinct()`` (a single-column
+    pruned scan) to avoid that.
     """
     schema = f"_sid long, {ts_col} long, {value_col} double"
     sid = F.xxhash64(*[F.col(k).cast("string") for k in keys])
-    sid_dict = chunks.select(*keys).distinct().withColumn("_sid", sid)
+    base = key_dict if key_dict is not None else chunks.select(*keys).distinct()
+    sid_dict = base.select(*keys).distinct().withColumn("_sid", sid)
     slim = chunks.select(sid.alias("_sid"), "ts_blob", "val_blob")
 
     def _decode(iterator):

@@ -49,6 +49,36 @@ def _ngrams(text: Column, n: int) -> Column:
     return F.when(total >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def _ngram_stats(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, ngram_total, top_cnt, dup_cnt) for docs with ≥ n tokens only —
+    the two-level aggregate; callers left-join to cover short docs."""
+    grams = docs.select(
+        F.col(id_col), F.explode(_ngrams(F.col(text_col), n)).alias("ngram")
+    )
+    hist = grams.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    return hist.groupBy(id_col).agg(
+        F.sum("cnt").alias("ngram_total"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("dup_cnt"),
+    )
+
+
+def _with_ratios(joined: DataFrame, id_col: str, extra: list[str]) -> DataFrame:
+    return joined.select(
+        id_col,
+        *extra,
+        F.coalesce(F.col("ngram_total"), F.lit(0)).cast("long").alias("ngram_total"),
+        F.coalesce(
+            F.col("top_cnt").cast("double") / F.col("ngram_total").cast("double"),
+            F.lit(0.0),
+        ).alias("top_ngram_share"),
+        F.coalesce(
+            F.col("dup_cnt").cast("double") / F.col("ngram_total").cast("double"),
+            F.lit(0.0),
+        ).alias("dup_ngram_frac"),
+    )
+
+
 def ngram_repetition(
     docs: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
@@ -63,33 +93,10 @@ def ngram_repetition(
 
     Docs with fewer than ``n`` tokens get (0, 0.0, 0.0).
     """
-    grams = docs.select(
-        F.col(id_col), F.explode_outer(_ngrams(F.col(text_col), n)).alias("ngram")
-    )
-    hist = grams.filter(F.col("ngram").isNotNull()).groupBy(id_col, "ngram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    stats = hist.groupBy(id_col).agg(
-        F.sum("cnt").alias("ngram_total"),
-        F.max("cnt").alias("top_cnt"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("dup_cnt"),
-    )
-    # left join keeps < n-token docs (explode_outer emitted a NULL gram row)
     base = docs.select(F.col(id_col)).distinct()
-    return (
-        base.join(stats, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("ngram_total"), F.lit(0)).cast("long").alias("ngram_total"),
-            F.coalesce(
-                F.col("top_cnt").cast("double") / F.col("ngram_total").cast("double"),
-                F.lit(0.0),
-            ).alias("top_ngram_share"),
-            F.coalesce(
-                F.col("dup_cnt").cast("double") / F.col("ngram_total").cast("double"),
-                F.lit(0.0),
-            ).alias("dup_ngram_frac"),
-        )
+    return _with_ratios(
+        base.join(_ngram_stats(docs, id_col, text_col, n), id_col, "left"),
+        id_col, [],
     )
 
 
@@ -97,10 +104,18 @@ def repetition_signals(
     docs: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
     """All repetition signals in one pass: (id, total_tokens,
-    dup_token_frac, ngram_total, top_ngram_share, dup_ngram_frac)."""
+    dup_token_frac, ngram_total, top_ngram_share, dup_ngram_frac).
+
+    The per-doc expression row (one per input row) is the left side, so no
+    extra distinct/exchange is spent re-deriving the doc set — at corpus
+    scale the only shuffles are the two n-gram aggregate exchanges.
+    """
     per_doc = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).cast("long").alias("total_tokens"),
         dup_token_frac(F.col(text_col)).alias("dup_token_frac"),
     )
-    return per_doc.join(ngram_repetition(docs, id_col, text_col, n), id_col)
+    return _with_ratios(
+        per_doc.join(_ngram_stats(docs, id_col, text_col, n), id_col, "left"),
+        id_col, ["total_tokens", "dup_token_frac"],
+    )
