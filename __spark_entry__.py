@@ -510,6 +510,20 @@ def _q_repetition_signals(spark, sf_dir):
     )
 
 
+def _q_substring_dups(spark, sf_dir):
+    """Exact substring-run dedup (operators/substring.py): pairs sharing a
+    verbatim token run of ≥8 tokens via 5-token rolling windows → capped
+    hash self-join → gaps-and-islands run measurement. The oracle replays
+    the identical window/diagonal/island algebra on the gram STRINGS —
+    independent of Spark's xxhash64 join keys."""
+    from tslib_spark.operators.substring import substring_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return substring_dup_pairs(
+        docs, "doc_id", "text", window_tokens=5, min_run_tokens=8
+    ).orderBy("id_a", "id_b")
+
+
 def _q_near_dup_clusters(spark, sf_dir):
     """The full fuzzy-dedup composition a training pipeline actually runs:
     MinHash signatures → banded LSH candidates → exact-Jaccard verify
@@ -683,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "repetition_signals": _q_repetition_signals,
         "url_parse": _q_url_parse,
+        "substring_dups": _q_substring_dups,
         "dedup_canonical": _q_dedup_canonical,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
@@ -964,6 +979,43 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": """
             SELECT doc_id, simhash
             FROM read_parquet('/root/repo/fixtures/simhash_signatures_sf001.parquet')
+        """,
+        "substring_dups": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> len(t) > 0) AS t
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(t) - 4, 0))) - 1 AS pos,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                            i -> array_to_string(t[i:i+4], ' '))) AS gram
+              FROM toks),
+            keep AS (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+              WHERE nd <= 1000),
+            m AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+                     a.pos - b.pos AS diag
+              FROM w a
+              JOIN keep k ON a.gram = k.gram
+              JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+            isl AS (
+              SELECT id_a, id_b, diag, pos_a,
+                     pos_a - row_number() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS g
+              FROM m),
+            runs AS (
+              SELECT id_a, id_b, count(*) AS run_windows
+              FROM isl GROUP BY id_a, id_b, diag, g)
+            SELECT id_a, id_b,
+                   CAST(sum(run_windows) AS BIGINT) AS shared_windows,
+                   CAST(max(run_windows) + 4 AS BIGINT) AS max_run_tokens
+            FROM runs GROUP BY id_a, id_b
+            HAVING max(run_windows) + 4 >= 8
+            ORDER BY id_a, id_b
         """,
         "url_parse": """
             WITH u AS (
