@@ -524,6 +524,20 @@ def _q_substring_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): docs with
+    doc_id >= 450 stand in for a held-out eval set; training docs
+    (doc_id < 450) sharing any 8-gram with it are flagged with hit count
+    and span. Broadcast semi-join — the corpus side never shuffles."""
+    from tslib_spark.operators.decontaminate import contamination_hits, eval_ngram_set
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 450)
+    evals = docs.filter(F.col("doc_id") >= 450)
+    grams = eval_ngram_set(evals, "text", n=8)
+    return contamination_hits(train, "doc_id", "text", grams, n=8).orderBy("doc_id")
+
+
 def _q_near_dup_clusters(spark, sf_dir):
     """The full fuzzy-dedup composition a training pipeline actually runs:
     MinHash signatures → banded LSH candidates → exact-Jaccard verify
@@ -698,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "url_parse": _q_url_parse,
         "substring_dups": _q_substring_dups,
+        "contamination": _q_contamination,
         "dedup_canonical": _q_dedup_canonical,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
@@ -979,6 +994,28 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": """
             SELECT doc_id, simhash
             FROM read_parquet('/root/repo/fixtures/simhash_signatures_sf001.parquet')
+        """,
+        "contamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> len(t) > 0) AS t
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(t) - 7, 0))) - 1 AS pos,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+                            i -> array_to_string(t[i:i+7], ' '))) AS gram
+              FROM toks),
+            ev AS (SELECT DISTINCT gram FROM w WHERE doc_id >= 450),
+            hits AS (
+              SELECT w.doc_id, w.pos FROM w JOIN ev USING (gram)
+              WHERE w.doc_id < 450)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(min(pos) AS BIGINT) AS first_pos,
+                   CAST(max(pos) AS BIGINT) AS last_pos
+            FROM hits GROUP BY doc_id ORDER BY doc_id
         """,
         "substring_dups": """
             WITH toks AS (
