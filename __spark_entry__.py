@@ -524,6 +524,21 @@ def _q_substring_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _q_quality_filter(spark, sf_dir):
+    """Composed Gopher-rule corpus filter (operators/quality_filter.py):
+    keep/drop per doc + ordered fail-reason list (joined to one string for
+    the value-hash compare). Rule evaluation is one codegen projection on
+    top of the repetition-signal aggregates."""
+    from tslib_spark.operators.quality_filter import quality_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    out = quality_filter(docs, "doc_id", "text", min_tokens=20)
+    return out.select(
+        "doc_id", "total_tokens", "keep",
+        F.concat_ws(",", "fail_reasons").alias("reasons"),
+    )
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark decontamination (operators/decontaminate.py): docs with
     doc_id >= 450 stand in for a held-out eval set; training docs
@@ -713,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parse": _q_url_parse,
         "substring_dups": _q_substring_dups,
         "contamination": _q_contamination,
+        "quality_filter": _q_quality_filter,
         "dedup_canonical": _q_dedup_canonical,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
@@ -994,6 +1010,53 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": """
             SELECT doc_id, simhash
             FROM read_parquet('/root/repo/fixtures/simhash_signatures_sf001.parquet')
+        """,
+        "quality_filter": """
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> len(t) > 0) AS t
+              FROM documents),
+            ng AS (
+              SELECT doc_id, len(t) AS total_tokens,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1),
+                                              i -> concat_ws(' ', t[i], t[i+1]))
+                          ELSE [] END AS grams
+              FROM toks),
+            hist AS (
+              SELECT doc_id, ngram, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(grams) AS ngram FROM ng) GROUP BY 1, 2),
+            stats AS (
+              SELECT doc_id, sum(cnt) AS ngram_total, max(cnt) AS top_cnt,
+                     sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+              FROM hist GROUP BY doc_id),
+            sig AS (
+              SELECT ng.doc_id,
+                     CAST(ng.total_tokens AS BIGINT) AS total_tokens,
+                     COALESCE(CAST(s.top_cnt AS DOUBLE) / s.ngram_total, 0.0) AS tshare,
+                     COALESCE(CAST(s.dup_cnt AS DOUBLE) / s.ngram_total, 0.0) AS dfrac,
+                     CAST(len(regexp_replace(tk.text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                       / greatest(len(tk.text), 1) AS pr,
+                     CAST(len(regexp_replace(tk.text, '[^0-9]', '', 'g')) AS DOUBLE)
+                       / greatest(len(tk.text), 1) AS dr
+              FROM ng LEFT JOIN stats s ON ng.doc_id = s.doc_id
+              JOIN toks tk ON tk.doc_id = ng.doc_id),
+            flags AS (
+              SELECT doc_id, total_tokens,
+                     list_filter([
+                       CASE WHEN total_tokens < 20 THEN 'too_short' END,
+                       CASE WHEN total_tokens > 100000 THEN 'too_long' END,
+                       CASE WHEN tshare > 0.20 THEN 'top_ngram_dominant' END,
+                       CASE WHEN dfrac > 0.40 THEN 'dup_ngram_heavy' END,
+                       CASE WHEN pr > 0.20 THEN 'punct_noise' END,
+                       CASE WHEN dr > 0.20 THEN 'digit_noise' END
+                     ], x -> x IS NOT NULL) AS fr
+              FROM sig)
+            SELECT doc_id, total_tokens,
+                   len(fr) = 0 AS keep,
+                   COALESCE(array_to_string(fr, ','), '') AS reasons
+            FROM flags
         """,
         "contamination": """
             WITH toks AS (

@@ -198,7 +198,8 @@ def contract_queries(spark, sf_dir: str) -> dict[str, float]:
         "join_filter_project", "dedup_exact", "token_stats", "minhash_near_dup",
         "simhash_signatures", "ann_cosine_topk", "ivf_topk", "gorilla_roundtrip",
         "svd_impute", "svd_forecast", "cosine_near_dup", "doc_components",
-        "pack_sequences", "hash_split",
+        "pack_sequences", "hash_split", "substring_dups", "contamination",
+        "quality_filter", "repetition_signals", "url_parse",
     ]
     qs = entrymod.queries()
     out = {}
