@@ -539,6 +539,32 @@ def _q_quality_filter(spark, sf_dir):
     )
 
 
+def _q_corpus_prepare(spark, sf_dir):
+    """The whole corpus-preparation pipeline in one pass: Gopher quality
+    filter → benchmark decontamination (eval = doc_id>=450) → deterministic
+    train/val/test split → per-split doc/token report. Every stage is the
+    library operator; the oracle composes the same algebra in SQL (split
+    assignments from the frozen bit-equal xxh64 fixture)."""
+    from tslib_spark.operators.decontaminate import decontaminate
+    from tslib_spark.operators.quality_filter import quality_filter
+    from tslib_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    train_pool = docs.filter(F.col("doc_id") < 450)
+    evals = docs.filter(F.col("doc_id") >= 450)
+
+    q = quality_filter(train_pool, "doc_id", "text", min_tokens=20)
+    kept = train_pool.join(
+        q.filter(F.col("keep")).select("doc_id", "total_tokens"), "doc_id"
+    )
+    clean = decontaminate(kept, "doc_id", "text", evals, "text", n=8)
+    split = hash_split(clean, "doc_id", {"train": 8.0, "val": 1.0, "test": 1.0}, seed=7)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("split")
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark decontamination (operators/decontaminate.py): docs with
     doc_id >= 450 stand in for a held-out eval set; training docs
@@ -729,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dups": _q_substring_dups,
         "contamination": _q_contamination,
         "quality_filter": _q_quality_filter,
+        "corpus_prepare": _q_corpus_prepare,
         "dedup_canonical": _q_dedup_canonical,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
@@ -1057,6 +1084,61 @@ def oracle_sql() -> dict[str, str]:
                    len(fr) = 0 AS keep,
                    COALESCE(array_to_string(fr, ','), '') AS reasons
             FROM flags
+        """,
+        "corpus_prepare": """
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> len(t) > 0) AS t
+              FROM documents),
+            -- quality: with this synthetic corpus only the length window
+            -- and repetition rules can trip; replicate the FULL rule set
+            ng AS (
+              SELECT doc_id, len(t) AS total_tokens,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1),
+                                              i -> concat_ws(' ', t[i], t[i+1]))
+                          ELSE [] END AS grams
+              FROM toks WHERE doc_id < 450),
+            hist AS (
+              SELECT doc_id, ngram, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(grams) AS ngram FROM ng) GROUP BY 1, 2),
+            st AS (
+              SELECT doc_id, sum(cnt) AS ngram_total, max(cnt) AS top_cnt,
+                     sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+              FROM hist GROUP BY doc_id),
+            quality AS (
+              SELECT ng.doc_id, ng.total_tokens
+              FROM ng
+              LEFT JOIN st ON ng.doc_id = st.doc_id
+              JOIN toks tk ON tk.doc_id = ng.doc_id
+              WHERE ng.total_tokens >= 20 AND ng.total_tokens <= 100000
+                AND COALESCE(CAST(st.top_cnt AS DOUBLE) / st.ngram_total, 0.0) <= 0.20
+                AND COALESCE(CAST(st.dup_cnt AS DOUBLE) / st.ngram_total, 0.0) <= 0.40
+                AND CAST(len(regexp_replace(tk.text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                      / greatest(len(tk.text), 1) <= 0.20
+                AND CAST(len(regexp_replace(tk.text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(len(tk.text), 1) <= 0.20),
+            w8 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+                            i -> array_to_string(t[i:i+7], ' '))) AS gram
+              FROM toks),
+            ev AS (SELECT DISTINCT gram FROM w8 WHERE doc_id >= 450),
+            contaminated AS (
+              SELECT DISTINCT w8.doc_id FROM w8 JOIN ev USING (gram)
+              WHERE w8.doc_id < 450),
+            survivors AS (
+              SELECT q.doc_id, q.total_tokens FROM quality q
+              WHERE q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            sp AS (
+              SELECT doc_id, split
+              FROM read_parquet('/root/repo/fixtures/hash_split_sf001.parquet'))
+            SELECT sp.split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(s.total_tokens) AS BIGINT) AS n_tokens
+            FROM survivors s JOIN sp ON s.doc_id = sp.doc_id
+            GROUP BY sp.split ORDER BY sp.split
         """,
         "contamination": """
             WITH toks AS (
