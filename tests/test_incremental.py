@@ -336,3 +336,40 @@ def test_update_from_store_folds_manifest_delta(spark, tmp_path, low_rank_series
     full = mat[:, : M0 + 4]
     sk_f, uk_f, vk_f = linalg.svd_topk(full, 3)
     np.testing.assert_allclose(rec, linalg.reconstruct(sk_f, uk_f, vk_f).flatten("F"), atol=1e-8)
+
+
+def test_streaming_dedup_drops_repeated_content(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on the content fingerprint: repeated
+    text within the horizon is emitted once; distinct texts all pass."""
+    import pandas as pd
+
+    from tslib_spark.streaming.stream import streaming_dedup
+
+    src = str(tmp_path / "dedup_src")
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00"] * 3 + ["2024-01-01 00:05:00"] * 3
+            ),
+            "text": ["same text", "same text", "unique a", "same text", "unique b", "unique a"],
+        }
+    )
+    spark.createDataFrame(rows).write.parquet(src)
+
+    out = streaming_dedup(
+        spark, src, "doc_id bigint, ts timestamp, text string",
+        content_cols=["text"], ts_col="ts",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select text from dedup_out").toPandas()
+    # one row per distinct text, regardless of how many dups arrived
+    assert sorted(got["text"].tolist()) == ["same text", "unique a", "unique b"]

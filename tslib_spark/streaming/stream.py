@@ -46,3 +46,32 @@ def streaming_rollup(
         .select(*keys, F.col("w.start").alias("bucket_ts"), "cnt", "val_sum", "val_min", "val_max")
     )
     return agg
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    content_cols: list[str],
+    ts_col: str,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact content-dedup for append-only ingestion.
+
+    The streaming counterpart of ``operators.dedup.exact_dedup``: rows
+    whose content fingerprint (``xxhash64`` over ``content_cols``, same
+    8-byte key as the batch path) already arrived within the watermark
+    horizon are dropped. State is the fingerprint set, bounded by the
+    watermark — Spark evicts fingerprints older than the horizon, which
+    is the standard streaming trade-off (a dup arriving later than the
+    watermark re-enters; the batch exact_dedup pass downstream catches
+    those). Checkpointed, so dedup state survives restarts.
+    """
+    stream = spark.readStream.schema(schema).parquet(path)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withColumn("_fp", F.xxhash64(*[F.col(c) for c in content_cols]))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
