@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tslib_spark.functions import text as T
+from tslib_spark.functions.psl_snapshot import TWO_LABEL_SUFFIXES as _PSL_SUFFIXES
 from tslib_spark.functions.scalar import normalize_expr, rmse_agg, rmse_hidden
 from tslib_spark.kernels.rsc import control_weights, prepare_panel, rsc_fit
 from tslib_spark.kernels.svd_kernel import ModelConfig, fit_transform, forecast
@@ -473,13 +474,20 @@ def _q_url_parse(spark, sf_dir):
     key. Spark parses with the JVM parse_url built-in; the oracle re-parses
     the same strings with independent DuckDB regexps."""
     from tslib_spark.functions.web import (
-        normalize_url, url_domain, url_host, url_path, url_query_param,
+        normalize_url, url_domain, url_domain_psl, url_host, url_path,
+        url_query_param,
     )
 
     docs = _read(spark, sf_dir, "documents")
+    # rotate through a plain gTLD, a co.uk-style PSL suffix, and com.au so
+    # domain vs domain_psl disagree exactly where the PSL matters
+    suffix = F.element_at(
+        F.array(F.lit(".Example.COM"), F.lit(".Sample.CO.UK"), F.lit(".Demo.COM.AU")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
     url = F.concat(
         F.lit("https://WWW.Site"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
-        F.lit(".Example.COM/p/"), F.col("doc_id").cast("string"),
+        suffix, F.lit("/p/"), F.col("doc_id").cast("string"),
         F.lit("/view?lang="), F.col("lang"), F.lit("&ref=feed#frag"),
     )
     return docs.select(
@@ -487,6 +495,7 @@ def _q_url_parse(spark, sf_dir):
         url.alias("url"),
         url_host(url).alias("host"),
         url_domain(url).alias("domain"),
+        url_domain_psl(url).alias("domain_psl"),
         url_path(url).alias("path"),
         url_query_param(url, "lang").alias("lang_param"),
         normalize_url(url).alias("norm"),
@@ -722,6 +731,28 @@ def _q_cosine_near_dup(spark, sf_dir):
     )
 
 
+def _q_knn_graph(spark, sf_dir):
+    """Per-row k-nearest-neighbor graph over the embeddings: 2 OR-amplified
+    hyperplane bands generate id-only candidates (bucket-size skew guard
+    on), each cosine computed once after vectors rejoin by id, directed
+    graph = scored pairs ∪ mirror, per-row top-3 by (cosine desc, id_b).
+    The frozen oracle (fixtures/knn_graph_sf001.parquet) replicates
+    planes, banding, cap, and left-to-right float sums exactly
+    (scripts/freeze_oracles.py:freeze_knn_graph)."""
+    from tslib_spark.operators.similarity import pairwise_topk_per_row
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pairwise_topk_per_row(
+        emb, "embedding", "vec_id", dim=64, k=3,
+        n_planes=6, n_bands=2, max_bucket=300,
+    ).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "cosine",
+        F.col("rank").cast("long"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_minute": _q_rollup_minute,
@@ -771,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "cosine_near_dup": _q_cosine_near_dup,
+        "knn_graph": _q_knn_graph,
         "ivf_topk": _q_ivf_topk,
     }
 
@@ -1199,11 +1231,14 @@ def oracle_sql() -> dict[str, str]:
             HAVING max(run_windows) + 4 >= 8
             ORDER BY id_a, id_b
         """,
-        "url_parse": """
+        "url_parse": f"""
             WITH u AS (
               SELECT doc_id,
                      concat('https://WWW.Site', CAST(doc_id % 7 AS VARCHAR),
-                            '.Example.COM/p/', CAST(doc_id AS VARCHAR),
+                            CASE doc_id % 3 WHEN 0 THEN '.Example.COM'
+                                            WHEN 1 THEN '.Sample.CO.UK'
+                                            ELSE '.Demo.COM.AU' END,
+                            '/p/', CAST(doc_id AS VARCHAR),
                             '/view?lang=', lang, '&ref=feed#frag') AS url
               FROM documents),
             h AS (
@@ -1212,13 +1247,22 @@ def oracle_sql() -> dict[str, str]:
                        lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
                        '^www\\.', '') AS host,
                      regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS rawpath
-              FROM u)
+              FROM u),
+            d AS (
+              SELECT *,
+                     regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS last2,
+                     regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS last3
+              FROM h)
             SELECT doc_id, url, host,
-                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+                   CASE WHEN last2 = '' THEN host ELSE last2 END AS domain,
+                   CASE WHEN last2 = '' THEN host
+                        WHEN last2 IN ({", ".join(f"'{s}'" for s in _PSL_SUFFIXES)})
+                             AND last3 <> '' THEN last3
+                        ELSE last2 END AS domain_psl,
                    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
                    regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
                    concat(host, CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) AS norm
-            FROM h
+            FROM d
         """,
         "repetition_signals": """
             WITH toks AS (
@@ -1278,6 +1322,10 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dup": """
             SELECT id_a, id_b, cosine
             FROM read_parquet('/root/repo/fixtures/cosine_near_dup_sf001.parquet')
+        """,
+        "knn_graph": """
+            SELECT id_a, id_b, cosine, rank
+            FROM read_parquet('/root/repo/fixtures/knn_graph_sf001.parquet')
         """,
         "ivf_topk": """
             SELECT vec_id, cosine

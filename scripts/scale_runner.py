@@ -8,7 +8,18 @@ session inside an unpinned process still burns extra cores on GC, netty,
 and Python workers, silently inflating the low-parallelism baseline and
 deflating the measured N→4N efficiency.
 
-Prints one JSON line: {"secs": float, "rows": int}.
+Besides hypervisor steal (/proc/stat), each leg runs a per-core
+CALIBRATION PROBE (one fixed-work busy-loop process pinned to each
+measured core, before and after the Spark measurements): the probe's
+iterations/sec is an in-VM measurement of *effective core speed*, which
+catches the noise steal cannot see — host turbo-frequency asymmetry and
+LLC/bandwidth contention (round 3's driver window had ~0 steal on every
+sample yet the 2-core legs ran 20% faster than any quiet-window run:
+invisible-to-steal frequency drift produced a 0.489 efficiency artifact
+on a 0.9 machine).
+
+Prints one JSON line: {"secs": float, "rows": int, "steal_frac": float,
+"probe_mops": float}.
 """
 
 from __future__ import annotations
@@ -16,8 +27,48 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_ITERS = 4_000_000
+
+
+def _probe_child(core: int, iters: int, conn) -> None:
+    """Fixed-work integer loop pinned to one core; reports its own elapsed.
+
+    Integer ALU work with a tiny footprint: measures effective core speed
+    (frequency + hypervisor contention) without competing for the memory
+    bandwidth the measured job needs."""
+    os.sched_setaffinity(0, {core})
+    x = 0
+    t0 = time.perf_counter()
+    for i in range(iters):
+        x += i * i
+    dt = time.perf_counter() - t0
+    conn.send(dt if x >= 0 else dt)
+    conn.close()
+
+
+def _probe_speed(cores: set[int]) -> float:
+    """Mean per-core speed (M iters/sec) with ALL measured cores busy at
+    once — the same active-core state as the measured job, so an
+    asymmetric turbo boost on a low-core leg shows up here too."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    procs = []
+    for core in sorted(cores):
+        parent, child = ctx.Pipe(duplex=False)
+        p = ctx.Process(target=_probe_child, args=(core, PROBE_ITERS, child))
+        p.start()
+        procs.append((p, parent))
+    speeds = []
+    for p, parent in procs:
+        dt = parent.recv()
+        p.join()
+        speeds.append(PROBE_ITERS / dt / 1e6)
+    return sum(speeds) / len(speeds)
 
 
 def _steal_jiffies(cores: set[int]) -> int:
@@ -39,13 +90,12 @@ def main() -> None:
     cpus = int(sys.argv[1])
     warm = "--warm" in sys.argv
 
-    import time
-
     from bench import scale_job
     from tslib_spark.session import get_spark
 
     cores = set(os.sched_getaffinity(0))
     hz = os.sysconf("SC_CLK_TCK")
+    probe_before = _probe_speed(cores)
 
     spark = get_spark(
         f"bench-scale-{cpus}",
@@ -68,7 +118,20 @@ def main() -> None:
     # the chosen sample so the caller can drop host-contaminated points.
     (secs, rows, steal) = min((measured() for _ in range(2)), key=lambda t: t[0])
     spark.stop()
-    print(json.dumps({"secs": secs, "rows": rows, "steal_frac": round(steal, 4)}))
+    probe_after = _probe_speed(cores)
+    print(
+        json.dumps(
+            {
+                "secs": secs,
+                "rows": rows,
+                "steal_frac": round(steal, 4),
+                # max of before/after: the leg's best observed core speed
+                # (a probe can itself be hit by a steal burst; the max is
+                # the least-contaminated view of the window's clock)
+                "probe_mops": round(max(probe_before, probe_after), 2),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -173,3 +173,38 @@ def test_multi_encode_matches_single_property(series_list):
     for i, (v, t) in enumerate(zip(vals, tss)):
         assert mv[i] == encode_values(v)
         assert mt[i] == encode_timestamps(t)
+
+
+def test_blob_version_marker_rejects_unversioned():
+    """r4 layout hardening: the header carries explicit version bits, and a
+    v1-era blob (top/version bits all zero — any plain uint32 count) is
+    rejected with a clear error instead of silently decoding as a constant
+    series / regular grid on the degenerate path."""
+    import numpy as np
+    import pytest
+
+    from tslib_spark.codec.gorilla import (
+        decode_timestamps,
+        decode_values,
+        encode_timestamps,
+        encode_values,
+    )
+
+    # round-trip still exact with the marker present
+    vals = np.array([1.5, 1.5, 2.25, float("nan"), -0.0])
+    np.testing.assert_array_equal(
+        np.nan_to_num(decode_values(encode_values(vals)), nan=9.9),
+        np.nan_to_num(vals, nan=9.9),
+    )
+    ts = np.array([60, 120, 180, 240], dtype=np.int64)
+    np.testing.assert_array_equal(decode_timestamps(encode_timestamps(ts)), ts)
+
+    # a v1-style blob: plain count header (version bits 0) + payload bytes
+    fake_v1 = np.uint32(5).tobytes() + b"\x00" * 16
+    with pytest.raises(ValueError, match="version"):
+        decode_values(fake_v1)
+    with pytest.raises(ValueError, match="version"):
+        decode_timestamps(fake_v1)
+
+    # empty timestamp blob carries the marker too
+    assert decode_timestamps(encode_timestamps(np.array([], dtype=np.int64))).size == 0

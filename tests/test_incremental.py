@@ -373,3 +373,139 @@ def test_streaming_dedup_drops_repeated_content(spark, tmp_path):
     got = spark.sql("select text from dedup_out").toPandas()
     # one row per distinct text, regardless of how many dups arrived
     assert sorted(got["text"].tolist()) == ["same text", "unique a", "unique b"]
+
+
+def test_stream_restart_grown_source_folds_new_files(spark, tmp_path, low_rank_series):
+    """The r4 replay-guard fix: a restart WITHOUT checkpoint_dir over a
+    source that grew must fold exactly the new files — under the old
+    ``epoch_id <= applied`` guard the restarted epochs 0..N were treated
+    as replays and the new data silently dropped. Worse, a restart with a
+    larger trigger re-batches an old file together with a new one; the
+    file-set guard folds only the new half of that mixed batch."""
+    import time as _time
+
+    from tslib_spark.streaming.model_stream import stream_update_svd
+
+    N, M_total, mat = low_rank_series
+    M0 = 34
+    cfg = ModelConfig(target_key="t1", N=N, M=M0, k=3)
+    base = mat[:, :M0].flatten("F")
+    blocks = [mat[:, M0 + i : M0 + i + 2].flatten("F") for i in range(0, 6, 2)]
+
+    state_dir = str(tmp_path / "model_state")
+    fit_state(spark.createDataFrame(tidy(base)), cfg).write.parquet(state_dir)
+
+    src = str(tmp_path / "blocks")
+    schema = "group_id string, bucket_idx long, value double"
+    start = N * M0
+
+    def add_block(i: int) -> None:
+        pdf = tidy(blocks[i], start_idx=start + i * len(blocks[i]))[
+            ["group_id", "bucket_idx", "value"]
+        ]
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    add_block(0)
+    q = stream_update_svd(spark, src, schema, state_dir, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert spark.read.parquet(state_dir).toPandas().iloc[0]["times_updated"] == 1
+
+    # source grows by two files; restart with a LARGER trigger so the first
+    # batch mixes the already-folded file with a new one (epochs restart at 0)
+    add_block(1)
+    add_block(2)
+    q2 = stream_update_svd(spark, src, schema, state_dir, max_files_per_trigger=2)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert got["times_updated"] >= 2, "restart dropped the grown-source files"
+
+    # oracle: the three blocks folded sequentially exactly once each
+    s = fit_state(spark.createDataFrame(tidy(base)), cfg)
+    for i, blk in enumerate(blocks):
+        nd = spark.createDataFrame(
+            tidy(blk, start_idx=start + i * len(blk))[["group_id", "bucket_idx", "value"]]
+        )
+        s = update_state(s, nd)
+    want = s.toPandas().iloc[0]
+    np.testing.assert_allclose(got["last_row"], want["last_row"], atol=0)
+    np.testing.assert_allclose(got["sk"], want["sk"], atol=1e-9)
+
+    # a full replay run over the unchanged source is a no-op
+    q3 = stream_update_svd(spark, src, schema, state_dir, max_files_per_trigger=3)
+    q3.awaitTermination(120)
+    again = spark.read.parquet(state_dir).toPandas().iloc[0]
+    np.testing.assert_allclose(again["sk"], got["sk"], atol=0)
+
+
+def test_ingest_chain_stream_to_tierstore_matches_batch(spark, tmp_path):
+    """The full wired ingest path (r4): readStream → watermark dedup →
+    1-minute tier agg → foreachBatch replace-merge upsert into TierStore.
+    The final stored minute tier is bit-equal (cnt, decimal val_sum,
+    min/max) to the batch pipeline — dedup + rollup — over the same rows,
+    and the touched partition's times_updated lineage recorded."""
+    import time as _time
+
+    import pandas as _pd
+
+    from tslib_spark.operators.retention import TierStore
+    from tslib_spark.operators.rollup import rollup
+    from tslib_spark.streaming.stream import ingest_to_store
+
+    base = _pd.Timestamp("2026-03-02 00:00:00")
+    rows = []
+    for m in range(0, 30):  # file 1: minutes 0..29
+        rows.append(("u1", "en", base + _pd.Timedelta(minutes=m), float(m), f"p{m}"))
+        if m % 5 == 0:  # exact duplicate rows → dedup must drop
+            rows.append(("u1", "en", base + _pd.Timedelta(minutes=m), float(m), f"p{m}"))
+    f1 = _pd.DataFrame(rows, columns=["url", "lang", "warc_ts", "val", "payload"])
+    rows2 = [
+        ("u2", "de", base + _pd.Timedelta(minutes=60 + m), float(m) * 2, f"q{m}")
+        for m in range(0, 30)
+    ]
+    rows2.append(("u2", "de", base + _pd.Timedelta(minutes=61), 2.0, "q1"))  # dup
+    # flush row: advances the watermark past every bucket under comparison
+    rows2.append(("flush", "xx", base + _pd.Timedelta(minutes=300), 0.0, "zz"))
+    f2 = _pd.DataFrame(rows2, columns=f1.columns)
+
+    src = str(tmp_path / "ingest_src")
+    spark.createDataFrame(f1).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(f2).coalesce(1).write.mode("append").parquet(src)
+
+    store = TierStore(spark, str(tmp_path / "store"), ["url", "lang"])
+    schema = "url string, lang string, warc_ts timestamp, val double, payload string"
+    q = ingest_to_store(
+        spark, src, schema, store, "warc_ts", "val",
+        content_cols=["url", "payload"], watermark="10 minutes",
+        checkpoint_dir=str(tmp_path / "ingest_ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    cutoff = base + _pd.Timedelta(minutes=290)  # watermark: 300 − 10
+    got = (
+        store.read_tier("minute")
+        .filter(F.col("bucket_ts") < F.lit(cutoff))
+        .toPandas()
+        .sort_values(["url", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    events = spark.createDataFrame(_pd.concat([f1, f2], ignore_index=True))
+    deduped = events.dropDuplicates(["url", "payload"])
+    want = (
+        rollup(deduped, ["url", "lang"], "warc_ts", "val", "minute")
+        .filter(F.col("bucket_ts") < F.lit(cutoff))
+        .toPandas()
+        .sort_values(["url", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 60
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    assert (got["cnt"] == 1).all()  # every duplicate dropped
+    assert [str(x) for x in got["val_sum"]] == [str(x) for x in want["val_sum"]]
+    assert (got["val_min"].to_numpy() == want["val_min"].to_numpy()).all()
+    assert (got["val_max"].to_numpy() == want["val_max"].to_numpy()).all()
+
+    cp = store.checkpoint.read()
+    lineage = cp[(cp["tier"] == "minute") & (cp["partition_key"] == "2026-03-02")]
+    assert len(lineage) == 1 and int(lineage["times_updated"].iloc[0]) >= 1

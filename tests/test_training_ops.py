@@ -307,3 +307,188 @@ def test_ivf_topk_recall(spark):
     got = ivf_topk(df, "embedding", "vec_id", q.tolist(), cent, k=10, nprobe=4).toPandas()
     recall = len(set(got["vec_id"]) & truth) / 10
     assert recall >= 0.9, f"IVF recall@10 = {recall}"
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + typ + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(px: np.ndarray, color: int, filters: list[int], pal: np.ndarray | None = None) -> bytes:
+    """Independent PNG encoder for the decode oracle: applies the spec's
+    filter transforms FORWARD over the true pixels (the encoder sees the
+    reconstructed == original bytes), zlib-compresses, wraps in chunks."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    ch = px.shape[2] if px.ndim == 3 else 1
+    bpp = ch
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = flat[y]
+        left = np.zeros_like(row)
+        left[bpp:] = row[:-bpp]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - left) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = (row - ((left + prev) >> 1)) % 256
+        else:
+            enc = np.empty_like(row)
+            for x in range(w * ch):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(row[x]) - pred) % 256
+        lines += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if pal is not None:
+        out += _png_chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(lines))) + _png_chunk(b"IEND", b"")
+
+
+def _pool_oracle(gray: np.ndarray) -> np.ndarray:
+    h, w = gray.shape
+    ri = np.minimum((np.arange(h) * 8) // h, 7)
+    ci = np.minimum((np.arange(w) * 8) // w, 7)
+    cell = (ri[:, None] * 8 + ci[None, :]).ravel()
+    return np.bincount(cell, weights=gray.ravel(), minlength=64) / np.maximum(
+        np.bincount(cell, minlength=64), 1
+    )
+
+
+def test_png_decode_all_filter_types():
+    """Stdlib PNG decode: every filter type (None/Sub/Up/Average/Paeth)
+    reconstructs bit-exactly — features match the independent pooled-luma
+    oracle on the true pixels."""
+    from tslib_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(42)
+    rgb = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    png = _png_bytes(rgb, color=2, filters=[0, 1, 2, 3, 4])
+    w, h, feats = decode_png(png)
+    assert (w, h) == (7, 11)
+    want = _pool_oracle((rgb.astype(np.float64) / 255.0) @ np.array([0.299, 0.587, 0.114]))
+    np.testing.assert_allclose(feats, want, atol=1e-12)
+
+
+def test_png_decode_palette_and_gray_alpha():
+    from tslib_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    # paletted (color 3): indices into a 16-entry palette
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 13), dtype=np.uint8)
+    png = _png_bytes(idx[:, :, None], color=3, filters=[4, 3, 2, 1, 0], pal=pal)
+    w, h, feats = decode_png(png)
+    assert (w, h) == (13, 9)
+    rgb = pal[idx]
+    want = _pool_oracle((rgb.astype(np.float64) / 255.0) @ np.array([0.299, 0.587, 0.114]))
+    np.testing.assert_allclose(feats, want, atol=1e-12)
+
+    # gray+alpha (color 4): alpha ignored, gray channel pooled
+    ga = rng.integers(0, 256, size=(8, 8, 2), dtype=np.uint8)
+    png2 = _png_bytes(ga, color=4, filters=[1, 4])
+    w2, h2, feats2 = decode_png(png2)
+    assert (w2, h2) == (8, 8)
+    np.testing.assert_allclose(feats2, _pool_oracle(ga[:, :, 0] / 255.0), atol=1e-12)
+
+
+def test_png_decode_rejects_corrupt():
+    from tslib_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, size=(5, 5, 3), dtype=np.uint8)
+    png = _png_bytes(rgb, color=2, filters=[0])
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" + png)
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(png[:50])  # cuts inside the IDAT chunk body
+    # corrupt the deflate stream body (skip sig+IHDR = 8+25, then into IDAT data)
+    broken = bytearray(png)
+    broken[8 + 25 + 12] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt PNG IDAT|PNG pixel data"):
+        decode_png(bytes(broken))
+
+
+def test_png_decode_in_decode_media(spark):
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    png = _png_bytes(rgb, color=2, filters=[0, 1, 2, 3, 4])
+    media = make_media_table(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "blob": [png]})),
+        "doc_id", "blob", "image",
+    )
+    got = decode_media(media, fake=False).toPandas().iloc[0]
+    assert (got["mime"], got["width"], got["height"]) == ("image/png", 6, 10)
+
+
+def test_wav_truncation_raises_clearly():
+    """Chunk lengths are untrusted: oversized clen, short fmt, and
+    non-block-aligned data all raise descriptive ValueErrors instead of
+    struct/frombuffer noise or silent truncation."""
+    import struct
+
+    from tslib_spark.operators.multimodal import decode_wav
+
+    wav, _ = _wav_bytes(8000, 0.01)
+    # oversize the data chunk's declared length beyond the buffer
+    broken = bytearray(wav)
+    data_at = wav.index(b"data")
+    struct.pack_into("<I", broken, data_at + 4, 10_000_000)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(bytes(broken))
+    # fmt chunk shorter than the 16-byte PCM header
+    short_fmt = bytearray(wav)
+    fmt_at = wav.index(b"fmt ")
+    struct.pack_into("<I", short_fmt, fmt_at + 4, 8)
+    with pytest.raises(ValueError, match="WAV"):
+        decode_wav(bytes(short_fmt))
+    # odd data length on 16-bit mono PCM
+    odd = wav[:data_at + 8] + wav[data_at + 8 : -1]
+    odd = odd[:data_at + 4] + struct.pack("<I", len(odd) - data_at - 8) + odd[data_at + 8:]
+    with pytest.raises(ValueError, match="not a multiple"):
+        decode_wav(odd)
+
+
+def test_knn_graph_banded_and_capped(spark):
+    """Round-4 shape: multiband candidates, bucket cap wired, mirror
+    symmetry (an undirected pair scores once and appears both ways)."""
+    from tslib_spark.operators.similarity import pairwise_topk_per_row
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(100, 8))
+    pdf = pd.DataFrame({"vec_id": range(100), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    g = pairwise_topk_per_row(
+        df, "embedding", "vec_id", dim=8, k=3, n_planes=5, n_bands=2, max_bucket=500
+    ).toPandas()
+    assert (g.groupby("id_a")["rank"].max() <= 3).all()
+    # the directed graph is the mirror union: every (a,b,cos) has (b,a,cos)
+    # scored identically (though b's top-k may cut it)
+    sc = {(a, b): c for a, b, c in zip(g["id_a"], g["id_b"], g["cosine"])}
+    for (a, b), c in sc.items():
+        if (b, a) in sc:
+            assert sc[(b, a)] == c
+    # max_bucket=0 drops every bucket → empty candidate set
+    empty = pairwise_topk_per_row(
+        df, "embedding", "vec_id", dim=8, k=3, n_planes=5, n_bands=2, max_bucket=0
+    ).count()
+    assert empty == 0

@@ -31,8 +31,10 @@ Buffer layout (v2 — decode-index sidecar):
 
     [hdr: uint32] [sidecar?] [payload bits]
 
-``hdr`` packs the point count in the low 31 bits and a ``has_sidecar``
-flag in the top bit. Variable-length prefix codes make code *positions*
+``hdr`` packs the point count in the low 29 bits, an explicit 2-bit
+layout version in bits 30-29 (this layout = 1; version 0 is the
+historical unversioned v1, rejected with a clear error instead of being
+silently mis-decoded), and a ``has_sidecar`` flag in the top bit. Variable-length prefix codes make code *positions*
 serial to recover from the payload alone; since the encoder already knows
 every code width, it emits them as a sidecar so decode is 100% numpy:
 
@@ -64,7 +66,27 @@ CHUNK_SIZE = 4096  # max points per encoded chunk
 
 _U64 = np.uint64
 _FLAG_SIDECAR = np.uint32(1 << 31)
-_N_MASK = (1 << 31) - 1
+# explicit layout version in header bits 30-29 (counts are chunk-bounded
+# ≤ 4096, nowhere near 2^29): version 0b00 is the historical unversioned
+# v1 layout whose top bit was always 0 — without the marker a durably
+# persisted v1 blob would silently decode on the v2 degenerate path as a
+# constant series / regular grid instead of erroring, and future layout
+# changes would be equally undetectable
+_VER_SHIFT = 29
+_VERSION = 1  # the sidecar ("v2") layout
+_VER_BITS = np.uint32(_VERSION << _VER_SHIFT)
+_VER_MASK = 0b11 << _VER_SHIFT
+_N_MASK = (1 << _VER_SHIFT) - 1
+
+
+def _check_version(hdr: int) -> None:
+    ver = (hdr & _VER_MASK) >> _VER_SHIFT
+    if ver != _VERSION:
+        raise ValueError(
+            f"unrecognized Gorilla blob layout (version bits {ver}, expected "
+            f"{_VERSION}) — refusing to guess: unversioned/v1 blobs would "
+            "silently mis-decode on the degenerate path"
+        )
 
 
 def _pack_spans(
@@ -154,7 +176,7 @@ def _pack_sidecars(
 
 
 def _hdr(n: int, sidecar: bytes) -> bytes:
-    h = np.uint32(n)
+    h = np.uint32(n) | _VER_BITS
     if sidecar:
         h |= _FLAG_SIDECAR
     return h.tobytes()
@@ -172,7 +194,7 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     """Delta-of-delta encode an int64 array (timestamps in any fixed unit)."""
     arr = np.ascontiguousarray(ts, dtype=np.int64)
     if arr.size == 0:
-        return np.uint32(0).tobytes()
+        return _VER_BITS.tobytes()
     return encode_timestamps_multi(arr, np.zeros(1, dtype=np.int64))[0]
 
 
@@ -339,6 +361,7 @@ def decode_values(buf: bytes) -> np.ndarray:
     if not buf:
         return np.empty(0, dtype=np.float64)
     hdr = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    _check_version(hdr)
     n = hdr & _N_MASK
     if n == 0:
         return np.empty(0, dtype=np.float64)
@@ -390,6 +413,7 @@ _TS_ZW = np.array([7, 12, 20, 64], dtype=np.int64)
 
 def decode_timestamps(buf: bytes) -> np.ndarray:
     hdr = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    _check_version(hdr)
     n = hdr & _N_MASK
     if n == 0:
         return np.empty(0, dtype=np.int64)

@@ -8,9 +8,14 @@ shuffle, prunable to a single-column scan.
 
 Normalization contract (deliberately minimal and deterministic):
 - host: lowercase, leading ``www.`` stripped;
-- registrable domain: last two dot-labels of the host — a heuristic, NOT
-  the Public Suffix List (no data files in-engine; swap in a PSL UDF if
-  the pipeline needs co.uk-style suffixes, documented trade-off);
+- registrable domain, two flavors:
+  ``url_domain`` — last two dot-labels of the host (fast heuristic;
+  single-label hosts like ``localhost`` fall back to the host itself,
+  never the empty string — empty-string domains would silently group
+  together in per-domain rollups);
+  ``url_domain_psl`` — same, but consults the bundled Public-Suffix-List
+  snapshot (psl_snapshot.py) so ``a.site.co.uk`` → ``site.co.uk``; the
+  PSL set is one codegen IN predicate, still a pure expression;
 - path: ``parse_url`` PATH part, "/" when absent/empty.
 """
 
@@ -19,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["url_host", "url_domain", "url_path", "url_query_param", "normalize_url"]
+from tslib_spark.functions.psl_snapshot import TWO_LABEL_SUFFIXES
+
+__all__ = [
+    "url_host", "url_domain", "url_domain_psl", "url_path",
+    "url_query_param", "normalize_url",
+]
 
 
 def url_host(url: Column) -> Column:
@@ -30,9 +40,29 @@ def url_host(url: Column) -> Column:
 
 def url_domain(url: Column) -> Column:
     """Registrable-domain heuristic: last two labels of the host
-    (``a.b.site.com`` → ``site.com``). See module docstring for the PSL
-    caveat."""
-    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+    (``a.b.site.com`` → ``site.com``); the host itself when it has no dot
+    (``localhost``) — consistent with url_host's NULL-on-unparsable, no
+    empty-string sink. See module docstring for the PSL caveat."""
+    host = url_host(url)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two == "", host).otherwise(two)
+
+
+def url_domain_psl(url: Column) -> Column:
+    """Registrable domain against the bundled PSL snapshot: when the last
+    two labels form a known registry suffix (``co.uk``), the registrable
+    domain is the last THREE labels; otherwise the two-label heuristic.
+    A host that IS a bare suffix (``co.uk`` itself) has no registrable
+    domain under the PSL; it falls back to the host, mirroring
+    url_domain's single-label fallback."""
+    host = url_host(url)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return (
+        F.when(two == "", host)
+        .when(two.isin(list(TWO_LABEL_SUFFIXES)) & (three != ""), three)
+        .otherwise(two)
+    )
 
 
 def url_path(url: Column) -> Column:

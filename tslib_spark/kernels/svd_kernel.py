@@ -94,25 +94,35 @@ def _fit_group(pdf: pd.DataFrame, cfg: ModelConfig) -> pd.DataFrame:
             cfg.include_past_only, method="svd",
         )
 
-    out_gid, out_kind, out_key, out_idx, out_val = [], [], [], [], []
+    # columnar assembly — whole-array concatenates + np.repeat key
+    # broadcast (the decode_chunks pattern, codec/chunks.py): no per-point
+    # Python list churn between the BLAS output and the Arrow batch
     ordered = list(cfg.donor_keys) + [cfg.target_key]
-    for s, key in enumerate(ordered):
-        block = denoised[s * cfg.N : (s + 1) * cfg.N, :]
-        vals = linalg.unfold(block)
-        out_gid.extend([gid] * vals.size)
-        out_kind.extend(["imputed"] * vals.size)
-        out_key.extend([key] * vals.size)
-        out_idx.extend(idxs[key].tolist())
-        out_val.extend(vals.tolist())
-
-    out_gid.extend([gid] * weights.size)
-    out_kind.extend(["weight"] * weights.size)
-    out_key.extend([cfg.target_key] * weights.size)
-    out_idx.extend(range(weights.size))
-    out_val.extend(weights.tolist())
+    T = cfg.N * cfg.M
+    out_val = np.concatenate(
+        [
+            linalg.unfold(denoised[s * cfg.N : (s + 1) * cfg.N, :])
+            for s in range(len(ordered))
+        ]
+        + [weights]
+    )
+    out_idx = np.concatenate(
+        [idxs[key] for key in ordered] + [np.arange(weights.size, dtype=np.int64)]
+    )
+    sizes = [T] * len(ordered) + [weights.size]
+    out_key = np.repeat(np.array(ordered + [cfg.target_key], dtype=object), sizes)
+    out_kind = np.repeat(
+        np.array(["imputed"] * len(ordered) + ["weight"], dtype=object), sizes
+    )
 
     return pd.DataFrame(
-        {"group_id": out_gid, "kind": out_kind, "series_key": out_key, "idx": out_idx, "value": out_val}
+        {
+            "group_id": np.repeat(gid, out_val.size),
+            "kind": out_kind,
+            "series_key": out_key,
+            "idx": out_idx,
+            "value": out_val,
+        }
     )
 
 

@@ -8,14 +8,19 @@ parseable without external media libraries:
 - **PPM (P6)** images: pure-Python header parse + numpy pixel decode,
   features = 8×8 mean-pooled grayscale (FEATURE_DIM floats), width/height
   from the header;
-- **WAV (RIFF/PCM)** audio: chunk walk for fmt/data, 8/16/32-bit PCM
-  decode, features = FEATURE_DIM-bin mean-|amplitude| envelope of the
-  mono mix, duration from sample count / rate.
+- **PNG** images: stdlib-``zlib`` IDAT inflate + scanline un-filtering
+  (None/Sub/Up vectorized, Average/Paeth per-row byte loops — their left
+  dependency has no prefix-sum closed form), 8-bit gray/RGB/palette/
+  alpha color types, same pooled-grayscale features;
+- **WAV (RIFF/PCM)** audio: chunk walk for fmt/data (lengths validated —
+  truncation is a clear ValueError, never a silently short buffer),
+  8/16/32-bit PCM decode, features = FEATURE_DIM-bin mean-|amplitude|
+  envelope of the mono mix, duration from sample count / rate.
 
-Other containers (JPEG/PNG/MP4/...) still raise ``NotImplementedError``
-— honestly env-gated on the absent codec libraries — and the
-deterministic fake decoder (``fake=True``) remains for pipeline tests
-that don't care about pixel math.
+Other containers (JPEG/MP4/...) still raise ``NotImplementedError`` —
+honestly env-gated on the absent codec libraries — and the deterministic
+fake decoder (``fake=True``) remains for pipeline tests that don't care
+about pixel math.
 
 At 100 TB the decode stage is the CPU hot spot: mapInPandas keeps it
 Arrow-batched (no per-row Python dispatch; the numpy work is per-payload,
@@ -116,14 +121,142 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     raw = np.frombuffer(payload, dtype=">u2" if bpc == 2 else np.uint8, offset=off, count=w * h * 3)
     rgb = raw.reshape(h, w, 3).astype(np.float64) / maxval
     gray = rgb @ np.array([0.299, 0.587, 0.114])
-    # mean-pool onto the _POOL x _POOL grid via bucketed bincount (handles
-    # dimensions not divisible by _POOL)
+    return w, h, _pool_gray(gray)
+
+
+def _pool_gray(gray: np.ndarray) -> np.ndarray:
+    """Mean-pool an (h, w) grayscale image onto the _POOL × _POOL grid via
+    bucketed bincount (handles dimensions not divisible by _POOL); shared
+    by the PPM and PNG decoders."""
+    h, w = gray.shape
     ri = np.minimum((np.arange(h) * _POOL) // h, _POOL - 1)
     ci = np.minimum((np.arange(w) * _POOL) // w, _POOL - 1)
     cell = (ri[:, None] * _POOL + ci[None, :]).ravel()
     sums = np.bincount(cell, weights=gray.ravel(), minlength=_POOL * _POOL)
     cnts = np.bincount(cell, minlength=_POOL * _POOL)
-    return w, h, sums / np.maximum(cnts, 1)
+    return sums / np.maximum(cnts, 1)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def _png_unfilter(data: np.ndarray, ftypes: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (RFC 2083 §6). ``data`` is the
+    (h, stride) filtered byte matrix, ``ftypes`` the per-row filter type.
+
+    None/Up are whole-row numpy ops; Sub is a per-lane cumsum (recon[i] =
+    Σ raw mod 256 along each byte lane, exactly the sequential recurrence
+    closed-form); Average and Paeth carry a genuine within-row left
+    dependency (the floor/predictor breaks any prefix-sum closed form), so
+    those rows fall back to a byte loop — per filtered row, not per pixel
+    of every image."""
+    h, stride = data.shape
+    recon = np.zeros((h, stride), dtype=np.int32)
+    zero_row = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = data[y]
+        up = recon[y - 1] if y else zero_row
+        if f == 0:
+            r = row.copy()
+        elif f == 1:  # Sub
+            r = np.cumsum(row.reshape(-1, bpp), axis=0).ravel() % 256
+        elif f == 2:  # Up
+            r = (row + up) % 256
+        elif f in (3, 4):
+            r = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(r[x - bpp]) if x >= bpp else 0
+                b = int(up[x])
+                if f == 3:  # Average
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = int(up[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = r
+    return recon
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG → (width, height, features) with the stdlib alone: chunk walk,
+    ``zlib`` IDAT inflate, filter reversal (_png_unfilter), then the same
+    8×8 mean-pooled grayscale features as decode_ppm.
+
+    Supported: 8-bit depth, color types 0/2/3/4/6, no interlace — the
+    overwhelmingly common web-PNG shape; anything else raises ValueError
+    (zlib ships with CPython, so "no codec libs in this container" never
+    covered PNG — the one gate that argument could not excuse)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, n = 8, len(payload)
+    ihdr = None
+    plte = b""
+    idat = bytearray()
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(
+                f"truncated PNG: chunk {ctype!r} declares {clen} bytes but "
+                f"only {len(body)} remain"
+            )
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing/truncated IHDR")
+    w, h = int.from_bytes(ihdr[0:4], "big"), int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG bit depth/color type {depth}/{color}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:
+        raise ValueError(f"corrupt PNG IDAT stream: {ex}") from ex
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, expected {h * (1 + stride)}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    recon = _png_unfilter(arr[:, 1:].astype(np.int32), arr[:, 0], ch)
+    px = recon.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:  # palette → RGB lookup
+        if len(plte) < 3 or len(plte) % 3:
+            raise ValueError("paletted PNG missing/odd PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(px.max()) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        px = pal[px[:, :, 0]]
+        ch = 3
+    scaled = px.astype(np.float64) / 255.0
+    if ch >= 3:
+        gray = scaled[:, :, :3] @ np.array([0.299, 0.587, 0.114])
+    else:
+        gray = scaled[:, :, 0]  # grayscale (alpha, if any, ignored)
+    return w, h, _pool_gray(gray)
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
@@ -138,16 +271,32 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while i + 8 <= n:
         cid, clen = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
         body = payload[i + 8 : i + 8 + clen]
+        # chunk lengths are untrusted input: a corrupt/oversized clen must
+        # be a clear 'truncated WAV', not a silently short sample buffer
+        # (or an opaque struct/frombuffer error downstream)
+        if len(body) < clen:
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {clen} bytes but only "
+                f"{len(body)} remain"
+            )
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError(f"truncated WAV fmt chunk ({clen} < 16 bytes)")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, channels, rate, _, _, bits = fmt
+    audio_format, channels, rate, _, block_align, bits = fmt
     if audio_format != 1:
         raise ValueError(f"only PCM WAV supported (format {audio_format})")
+    block = channels * (bits // 8)
+    if block and len(data) % block:
+        raise ValueError(
+            f"truncated WAV: data length {len(data)} is not a multiple of the "
+            f"{block}-byte sample block ({channels} ch × {bits}-bit)"
+        )
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
@@ -176,13 +325,18 @@ def _decode_real(payload: bytes) -> dict:
         w, h, feats = decode_ppm(payload)
         return {"mime": "image/x-portable-pixmap", "width": w, "height": h,
                 "duration_ms": None, "features": feats}
+    if payload[:8] == _PNG_SIG:
+        w, h, feats = decode_png(payload)
+        return {"mime": "image/png", "width": w, "height": h,
+                "duration_ms": None, "features": feats}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         dur, feats = decode_wav(payload)
         return {"mime": "audio/wav", "width": None, "height": None,
                 "duration_ms": dur, "features": feats}
     raise NotImplementedError(
-        "only PPM (P6) and WAV (PCM) decode without external media libs; "
-        "this container ships none — pass fake=True for the deterministic stub"
+        "only PPM (P6), PNG, and WAV (PCM) decode without external media "
+        "libs; this container ships none (JPEG/MP4 stay gated) — pass "
+        "fake=True for the deterministic stub"
     )
 
 

@@ -19,9 +19,21 @@ two-pass distributed prefix sum:
    same range exchange a global sort would need anyway;
 2. per-partition running totals with a window PARTITIONED by the stamped
    partition id (running O(n) frame, parallel across partitions);
-3. per-partition grand totals → a #partitions-row driver collect (bounded
-   metadata, like the tier checksums) → broadcast-joined exclusive
-   partition offsets.
+3. per-partition grand totals → exclusive running offsets via a window
+   over the #partitions-row totals (a single-task window over bounded
+   metadata) → broadcast-joined back.
+
+Stage 3 deliberately stays INSIDE the one returned plan, with no driver
+collect: a collect would run the un-persisted repartitionByRange subtree
+as a separate job, and Spark's RangePartitioner samples its boundaries
+per execution (rdd.id-derived seed) — the _pid→offset table from job 1
+could then disagree with the _pid assignment in job 2, silently
+corrupting bin_id at scale. One plan has ONE range exchange (Catalyst's
+ReuseExchange dedupes the two identical subtrees; verified in the
+physical plan), so totals and prefixes always see the same partitioning.
+It also makes the operator fully deterministic across repeated actions:
+the output is a function of the global prefix order alone, and within
+any single execution both branches share one boundary sample.
 
 The result is bit-equal to the single-partition window at any partition
 count (asserted in tests) while every stage stays parallel.
@@ -71,20 +83,16 @@ def pack_sequences(
         "_local_excl", F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
     )
 
-    # per-partition totals: #partitions rows of bounded metadata — the one
-    # deliberate driver action, same contract as tier checksums
-    totals = sorted(
-        (r["_pid"], r["t"])
-        for r in stamped.groupBy("_pid")
-        .agg(F.sum(token_col).cast("long").alias("t"))
-        .collect()
+    # per-partition totals → exclusive running offsets, all in-plan: the
+    # orderBy window moves only #partitions rows to one task (bounded
+    # metadata, same contract as tier checksums), and keeping it lazy is
+    # what guarantees both branches read ONE reused range exchange
+    totals = stamped.groupBy("_pid").agg(F.sum(token_col).cast("long").alias("_t"))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_t").over(wo), F.lit(0)).cast("long").alias("_part_offset"),
     )
-    offsets, acc = [], 0
-    for pid, tot in totals:
-        offsets.append((pid, acc))
-        acc += int(tot)
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "_pid int, _part_offset long")
 
     packed = (
         local.join(F.broadcast(off_df), "_pid")

@@ -151,7 +151,31 @@ class TierStore:
         missing = sorted(all_pks - done)
         if not missing:
             return []
-        todo = with_pk.filter(F.col("part_key").isin(missing))
+        self._write_partitions(tier, with_pk, missing)
+        return missing
+
+    def upsert_partitions(
+        self, tier: str, source: DataFrame, part_keys: list[str]
+    ) -> list[str]:
+        """Rewrite specific partitions from caller-MERGED state (the
+        streaming-ingest upsert path): unlike ``materialize``, partitions
+        already checkpointed are rewritten — the caller has combined the
+        existing rows with newly arrived buckets using the associative
+        tier algebra — and their checkpoint rows are updated in place,
+        ``times_updated`` incrementing per upsert (the reference's
+        TimesUpdated counter as per-partition lineage, the epoch audit
+        trail for the streaming path)."""
+        if not part_keys:
+            return []
+        with_pk = self._with_part_key(source, tier)
+        todo_pks = sorted(set(part_keys))
+        self._write_partitions(tier, with_pk, todo_pks)
+        return todo_pks
+
+    def _write_partitions(self, tier: str, with_pk: DataFrame, pks: list[str]) -> None:
+        """Shared write tail: encode-if-compressed → dynamic partition
+        overwrite → checksum the landed (decoded) bytes → checkpoint."""
+        todo = with_pk.filter(F.col("part_key").isin(pks))
         if tier in self.compressed_tiers:
             from tslib_spark.codec.statechunks import encode_state_chunks
 
@@ -182,7 +206,7 @@ class TierStore:
         # checksum what actually landed (decoded read-back for compressed
         # tiers — the checksum certifies the decodable bytes on disk)
         landed_raw = self.spark.read.parquet(self.tier_path(tier)).filter(
-            F.col("part_key").isin(missing)
+            F.col("part_key").isin(pks)
         )
         if tier in self.compressed_tiers:
             from tslib_spark.codec.statechunks import decode_state_chunks
@@ -203,10 +227,9 @@ class TierStore:
                     "rows_out": sums.get(pk, (0, 0))[0],
                     "checksum": sums.get(pk, (0, 0))[1],
                 }
-                for pk in missing
+                for pk in pks
             ]
         )
-        return missing
 
     def materialize_chain(self, minute_source: DataFrame) -> dict[str, list[str]]:
         """minute → hour → day → week, each tier read back from storage —

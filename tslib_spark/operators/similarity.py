@@ -313,27 +313,62 @@ def ivf_topk(
 
 def pairwise_topk_per_row(
     df: DataFrame, vec_col: str, id_col: str, dim: int, k: int = 5, n_planes: int = 8,
-    seed: int = 42,
+    seed: int = 42, n_bands: int = 1, max_bucket: int | None = None,
 ) -> DataFrame:
-    """For each row, its k most-similar neighbors within its LSH bucket —
-    the batched kNN-graph builder (used for clustering/dedup graphs).
-    ``dim`` is explicit (no hidden driver-side probe job)."""
-    planes = make_planes(dim, n_planes, seed)
+    """For each row, its k most-similar neighbors among its LSH-bucket
+    peers — the batched kNN-graph builder (used for clustering/dedup
+    graphs). ``dim`` is explicit (no hidden driver-side probe job).
+
+    Same candidate discipline as ``cosine_near_dup_pairs``: the banded
+    exchange carries only (8-byte id, band, signature) — never the
+    embeddings — candidates are deduped on undirected (id_a < id_b) pairs
+    across the ``n_bands`` OR-amplified hyperplane tables, each cosine is
+    computed ONCE after the vectors rejoin by id, and the directed graph
+    is the cheap union of the scored pairs with their mirror. ``max_bucket``
+    caps the per-bucket self-join against adversarial skew (boilerplate
+    embeddings collapsing into one bucket would otherwise go quadratic);
+    at 10^9 × 768-dim the id-only exchange is the difference between
+    shuffling ids and shuffling the corpus per band.
+    """
     vec = F.col(vec_col).cast("array<double>")
-    with_sig = df.select(
-        F.col(id_col).alias("_id"), vec.alias("_v"),
-        hyperplane_signature(vec, planes).alias("_sig"),
+    sigs = F.array(
+        *[
+            hyperplane_signature(vec, make_planes(dim, n_planes, seed + j))
+            for j in range(n_bands)
+        ]
     )
-    l, r = with_sig.alias("l"), with_sig.alias("r")
-    pairs = l.join(
-        r, (F.col("l._sig") == F.col("r._sig")) & (F.col("l._id") != F.col("r._id"))
-    ).select(
-        F.col("l._id").alias("id_a"),
-        F.col("r._id").alias("id_b"),
-        (
-            _dot(F.col("l._v"), F.col("r._v"))
-            / (_norm(F.col("l._v")) * _norm(F.col("r._v")))
-        ).alias("cosine"),
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(sigs).alias("_band", "_sig")
+    )
+    if max_bucket is not None:
+        banded, _ = cap_bucket_size(banded, ["_band", "_sig"], max_bucket)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._sig") == F.col("r._sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    sides = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), _norm(vec).alias("_n"))
+    a = sides.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = sides.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+    )
+    directed = scored.unionByName(
+        scored.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine"
+        )
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), "id_b")
-    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return directed.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

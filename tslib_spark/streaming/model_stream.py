@@ -31,11 +31,19 @@ Durability contract (both drivers):
   partition-key set in ``_applied_source`` the same way, so a killed call
   re-folds exactly the unapplied delta and a replayed call is a no-op.
 
-Epoch ids restart from 0 when a stream runs without ``checkpoint_dir``;
-the marker then correctly no-ops the replay of already-applied files on
-restart, provided the file set and trigger size are unchanged (file
-sources list deterministically). For exactly-once across restarts with a
-growing source, pass ``checkpoint_dir``.
+Epoch ids restart from 0 when a stream runs without ``checkpoint_dir``,
+so the epoch number alone cannot distinguish "replay of committed work"
+from "restart over a grown source" — the naive ``epoch_id <= applied``
+guard would silently drop genuinely new epochs 0..N (silent model
+staleness). The marker therefore records the APPLIED-FILE SET
+(scheme-normalized input paths, ~one string per block file — bounded
+metadata): a batch folds only its not-yet-applied files, filtered
+row-wise by ``input_file_name()``, which is also robust to restarts
+re-batching old files together with new ones (a batch-level fingerprint
+would double-fold the old half of such a mixed batch). Non-file sources
+have no file identity — there the epoch guard is all we have, and a
+skip is reported with a warning. For exactly-once across restarts,
+still pass ``checkpoint_dir``.
 """
 
 from __future__ import annotations
@@ -52,6 +60,18 @@ from tslib_spark.streaming.incremental import update_state
 
 _EPOCH_MARKER = "_applied_epoch"
 _SOURCE_MARKER = "_applied_source"
+
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+"
+
+
+def _norm_file(f: str) -> str:
+    """Scheme-insensitive file identity (``file:///x``, ``file:/x`` and
+    ``/x`` all normalize to ``/x``) — the SAME regex the JVM-side
+    input_file_name filter applies, so the two views can never drift."""
+    import re
+
+    return re.sub(_SCHEME_RE, "/", f)
 
 
 def recover_state(state_dir: str) -> bool:
@@ -110,13 +130,58 @@ def stream_update_svd(
         recover_state(state_dir)
         if batch_df.isEmpty():
             return
-        applied = _read_marker(state_dir, _EPOCH_MARKER)
-        if applied is not None and epoch_id <= applied["epoch_id"]:
-            return  # at-least-once replay of a committed epoch: no-op
+        applied = _read_marker(state_dir, _EPOCH_MARKER) or {}
+        prev_epoch = applied.get("epoch_id", -1)
+        done: list[str] = applied.get("files", [])
+        # per-row input_file_name, distinct-collected (#files rows):
+        # DataFrame.inputFiles() returns [] on foreachBatch frames, but the
+        # scan-time file name survives into the batch plan
+        files = sorted(
+            _norm_file(r["f"])
+            for r in batch_df.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+            if r["f"]
+        )
+        if files:
+            # file source: the applied-FILE set, not the epoch counter, is
+            # the replay authority — epochs restart at 0 without a
+            # checkpoint_dir, and restarts also re-BATCH (a replayed file
+            # can share a batch with a genuinely new one), so the guard
+            # must work at file granularity: drop already-folded files
+            # row-wise, fold what remains
+            new_files = [f for f in files if f not in set(done)]
+            if not new_files:
+                return  # every file in the batch was already folded
+            if len(new_files) < len(files):
+                batch_df = batch_df.filter(
+                    F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/").isin(
+                        new_files
+                    )
+                )
+        elif applied and epoch_id <= prev_epoch:
+            # non-file source: no file identity to consult, so the epoch
+            # guard is all we have — skip, but never silently
+            import warnings
+
+            warnings.warn(
+                f"stream_update_svd: skipping epoch {epoch_id} <= applied "
+                f"{prev_epoch} with no input-file identity; if this is a "
+                "restart without checkpoint_dir over a grown source, the "
+                "batch carried NEW data — pass checkpoint_dir",
+                UserWarning,
+                stacklevel=2,
+            )
+            return
         state = spark.read.parquet(state_dir)
         new_state = update_state(state, batch_df, method=method)
         keep = _read_marker(state_dir, _SOURCE_MARKER)
-        markers = {_EPOCH_MARKER: {"epoch_id": epoch_id}}
+        markers = {
+            _EPOCH_MARKER: {
+                "epoch_id": max(epoch_id, prev_epoch),
+                "files": done + [f for f in files if f not in set(done)],
+            }
+        }
         if keep is not None:
             markers[_SOURCE_MARKER] = keep
         _swap_state(new_state, state_dir, markers)
