@@ -217,3 +217,34 @@ def test_range_read_prunes_partitions_and_chunks(spark, store_root, minute_sourc
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "part_key" in plan
+
+
+def test_catalog_backend_seam(spark, tmp_path):
+    """r4: every byte touch goes through the catalog seam. An explicitly
+    passed ParquetManifestBackend behaves identically to the default, and
+    the Iceberg drop-in refuses loudly when no catalog is configured
+    (honest gate — no pretend-Iceberg behavior)."""
+    import pytest as _pytest
+
+    from tslib_spark.sources.catalog import IcebergBackend, ParquetManifestBackend
+
+    pages = generate_pages(spark, n_events=20_000, n_urls=100, n_minutes=60 * 24 * 3)
+    minute = rollup_pages(pages)
+    root = str(tmp_path / "seam_store")
+    store = TierStore(spark, root, KEYS, backend=ParquetManifestBackend(root))
+    assert not store.tier_exists("minute")
+    written = store.materialize_chain(minute)
+    assert written["minute"] and store.tier_exists("minute")
+    assert store.verify_tier_parity("minute", "hour")
+    # retention through the seam: drop_partition + terminal lineage
+    first_pk = sorted(written["minute"])[0]
+    expired = store.retention_pass("minute", expire_before=sorted(written["minute"])[1])
+    assert expired == [first_pk]
+    assert first_pk not in {
+        r["part_key"]
+        for r in store._with_part_key(store.read_tier("minute"), "minute")
+        .select("part_key").distinct().collect()
+    }
+
+    with _pytest.raises(RuntimeError, match="not configured"):
+        IcebergBackend(spark, "nosuch_catalog")

@@ -58,3 +58,30 @@ def test_norm_is_stable_dedup_key(spark):
     df = spark.createDataFrame([(u,) for u in variants], "url string")
     norms = df.select(normalize_url(F.col("url")).alias("n")).distinct().collect()
     assert len(norms) == 1 and norms[0]["n"] == "site.com/p/1"
+
+
+def test_domain_psl_and_single_label_fallback(spark):
+    """r4: url_domain never returns an empty-string sink (single-label
+    hosts fall back to the host), and url_domain_psl consults the bundled
+    public-suffix snapshot for co.uk-style registries."""
+    from tslib_spark.functions.web import url_domain, url_domain_psl
+
+    cases = [
+        ("https://a.b.site.co.uk/x", "co.uk", "site.co.uk"),
+        ("https://www.shop.com.au/", "com.au", "shop.com.au"),
+        ("https://news.example.com/", "example.com", "example.com"),
+        ("http://localhost:8080/health", "localhost", "localhost"),
+        ("https://co.uk/", "co.uk", "co.uk"),  # bare suffix: host fallback
+        ("https://x.gov.br/", "gov.br", "x.gov.br"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = {
+        r["url"]: (r["d"], r["p"])
+        for r in df.select(
+            "url",
+            url_domain(F.col("url")).alias("d"),
+            url_domain_psl(F.col("url")).alias("p"),
+        ).collect()
+    }
+    for url, want_d, want_p in cases:
+        assert got[url] == (want_d, want_p), (url, got[url])

@@ -1,8 +1,10 @@
 """TierStore: materialized continuous-aggregate tiers with retention.
 
-Layout (parquet + manifest fallback for Iceberg, SURVEY §1.3 — no Iceberg
-runtime jar ships in this sandbox; the API is storage-agnostic so the same
-class can write ``df.writeTo(table)`` when a catalog is configured):
+Storage goes through the catalog seam (sources/catalog.py): the default
+``ParquetManifestBackend`` gives the layout below (parquet + this class's
+checkpoint manifest as the Iceberg-snapshot stand-in, SURVEY §1.3 — no
+Iceberg runtime jar ships in this sandbox); ``IcebergBackend`` is the
+one-constructor-argument drop-in when a catalog is configured:
 
     <root>/tiers/<tier>/part_key=<YYYY-MM-DD or week start>/*.parquet
     <root>/checkpoint.parquet            (lineage, see plans/lineage.py)
@@ -21,7 +23,6 @@ distributed, only the checkpoint bookkeeping is driver-side metadata.
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,16 +42,26 @@ class TierStore:
         root: str,
         keys: list[str],
         compressed_tiers: frozenset[str] | set[str] = frozenset(),
+        backend=None,
     ):
         """``compressed_tiers``: tiers stored as Gorilla state chunks
         (codec/statechunks.py — the north star's compressed minute tier)
         instead of raw state rows. Reads decode transparently; the parity
         gate and checksums run on the decoded read-back, so compression
-        sits INSIDE the bit-exactness contract, not beside it."""
+        sits INSIDE the bit-exactness contract, not beside it.
+
+        ``backend``: the catalog seam (sources/catalog.py) — every byte
+        touch (read / partition overwrite / partition drop / existence)
+        goes through it, so swapping ParquetManifestBackend for
+        IcebergBackend touches no TierStore logic. Default: parquet +
+        this class's checkpoint manifest."""
+        from tslib_spark.sources.catalog import ParquetManifestBackend
+
         self.spark = spark
         self.root = Path(root)
         self.keys = keys
         self.compressed_tiers = set(compressed_tiers)
+        self.backend = backend if backend is not None else ParquetManifestBackend(root)
         self.checkpoint = CheckpointStore(str(self.root / "checkpoint.parquet"))
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # keep part_key a string on read-back (inference would parse it as a
@@ -59,7 +70,10 @@ class TierStore:
 
     # ---------------- paths ----------------
     def tier_path(self, tier: str) -> str:
-        return str(self.root / "tiers" / tier)
+        return self.backend.table_path(tier)
+
+    def tier_exists(self, tier: str) -> bool:
+        return self.backend.exists(self.spark, tier)
 
     def read_tier(self, tier: str, start_ts=None, end_ts=None) -> DataFrame:
         """Read a tier, optionally restricted to [start_ts, end_ts).
@@ -76,7 +90,7 @@ class TierStore:
         """
         import pandas as pd
 
-        raw = self.spark.read.parquet(self.tier_path(tier))
+        raw = self.backend.read(self.spark, tier)
         span_days = {"day": 1, "week": 7}[PART_TRUNC[tier]]
         if start_ts is not None:
             pk_lo = (
@@ -197,15 +211,14 @@ class TierStore:
             )
         else:
             out = todo
-        (
-            out.repartition(F.col("part_key"), *[F.col(k) for k in self.keys])
-            .write.mode("overwrite")
-            .partitionBy("part_key")
-            .parquet(self.tier_path(tier))
+        self.backend.write_partitions(
+            self.spark,
+            tier,
+            out.repartition(F.col("part_key"), *[F.col(k) for k in self.keys]),
         )
         # checksum what actually landed (decoded read-back for compressed
         # tiers — the checksum certifies the decodable bytes on disk)
-        landed_raw = self.spark.read.parquet(self.tier_path(tier)).filter(
+        landed_raw = self.backend.read(self.spark, tier).filter(
             F.col("part_key").isin(pks)
         )
         if tier in self.compressed_tiers:
@@ -314,12 +327,9 @@ class TierStore:
                         f"longer matches its recorded checksum"
                     )
 
-        base = Path(self.tier_path(tier))
         expired = []
         for pk in candidates:
-            part_dir = base / f"part_key={pk}"
-            if part_dir.exists():
-                shutil.rmtree(part_dir)
+            self.backend.drop_partition(self.spark, tier, pk)
             self.checkpoint.mark(tier, pk, "expired", 0, 0, 0)
             expired.append(pk)
         return expired

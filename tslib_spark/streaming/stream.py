@@ -116,9 +116,7 @@ def ingest_to_store(
             for r in store._with_part_key(batch_df, "minute")
             .select("part_key").distinct().collect()
         ]
-        import os as _os
-
-        if _os.path.exists(store.tier_path("minute")):
+        if store.tier_exists("minute"):
             # bucket-level REPLACE, not sum-merge: append mode emits every
             # bucket exactly once, so an existing row for the same
             # (keys, bucket_ts) can only be this batch's own earlier
