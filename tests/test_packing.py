@@ -49,3 +49,32 @@ def test_bad_budget_raises(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "n_tokens", "doc_id", 0)
+
+
+def test_range_sampling_scale_consistency(spark):
+    """r4 regression for the two-job boundary bug: offsets are now computed
+    IN the one returned plan (the totals subtree reuses the range exchange
+    — verified as a ReusedQueryStage at runtime), so the _pid→offset map
+    can never see different sampled range boundaries than the _pid
+    assignment. Exercised at a scale where the RangePartitioner actually
+    samples (100k shuffled rows, 13 input → 16 range partitions) against
+    the exact global prefix oracle."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    n = 100_000
+    pdf = pd.DataFrame(
+        {"doc_id": rng.permutation(n), "n_tok": rng.integers(1, 50, n)}
+    )
+    df = spark.createDataFrame(pdf).repartition(13)
+    got = (
+        pack_sequences(df, "n_tok", "doc_id", budget=1000, num_partitions=16)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    o = pdf.sort_values("doc_id").reset_index(drop=True)
+    excl = o["n_tok"].cumsum().shift(fill_value=0)
+    assert (got["bin_id"].to_numpy() == (excl // 1000).to_numpy()).all()
+    assert (got["bin_offset"].to_numpy() == (excl % 1000).to_numpy()).all()
