@@ -731,6 +731,33 @@ def _q_cosine_near_dup(spark, sf_dir):
     )
 
 
+def _q_embedding_dup_clusters(spark, sf_dir):
+    """Embedding-side fuzzy dedup composed end to end: multiband
+    hyperplane-LSH candidates → exact-cosine verify (≥0.9, the same
+    perturbed-twin construction as cosine_near_dup) →
+    large-star/small-star connected components. The semantic twin of
+    near_dup_clusters with cosine instead of Jaccard as the verifier —
+    the dedup a pipeline runs when documents are embedded. Oracle: the
+    recursive-CTE reachability fixpoint over the frozen (and separately
+    hash-verified) cosine pair fixture."""
+    from tslib_spark.operators.components import connected_components
+    from tslib_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = base.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.01) + F.lit(0.02)
+        ).alias("embedding"),
+    )
+    pairs = cosine_near_dup_pairs(
+        base.unionByName(pert), "embedding", "vec_id", dim=64, threshold=0.9,
+        n_planes=8, n_bands=4, max_bucket=300,
+    )
+    return connected_components(pairs.select("id_a", "id_b")).orderBy("id")
+
+
 def _q_knn_graph(spark, sf_dir):
     """Per-row k-nearest-neighbor graph over the embeddings: 2 OR-amplified
     hyperplane bands generate id-only candidates (bucket-size skew guard
@@ -802,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "cosine_near_dup": _q_cosine_near_dup,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "knn_graph": _q_knn_graph,
         "ivf_topk": _q_ivf_topk,
     }
@@ -1326,6 +1354,21 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": """
             SELECT id_a, id_b, cosine, rank
             FROM read_parquet('/root/repo/fixtures/knn_graph_sf001.parquet')
+        """,
+        "embedding_dup_clusters": """
+            WITH RECURSIVE sym AS (
+              SELECT id_a AS s, id_b AS t
+              FROM read_parquet('/root/repo/fixtures/cosine_near_dup_sf001.parquet')
+              UNION
+              SELECT id_b, id_a
+              FROM read_parquet('/root/repo/fixtures/cosine_near_dup_sf001.parquet')
+            ),
+            reach(id, comp) AS (
+              SELECT DISTINCT s, s FROM sym
+              UNION
+              SELECT e.t, r.comp FROM reach r JOIN sym e ON e.s = r.id
+            )
+            SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id
         """,
         "ivf_topk": """
             SELECT vec_id, cosine

@@ -509,3 +509,55 @@ def test_ingest_chain_stream_to_tierstore_matches_batch(spark, tmp_path):
     cp = store.checkpoint.read()
     lineage = cp[(cp["tier"] == "minute") & (cp["partition_key"] == "2026-03-02")]
     assert len(lineage) == 1 and int(lineage["times_updated"].iloc[0]) >= 1
+
+
+def test_ingest_chain_compressed_minute_tier(spark, tmp_path):
+    """ingest_to_store against a Gorilla-compressed minute tier: the
+    replace-merge upsert flows through the same encode/decode path as
+    batch materialization, and the decoded read-back equals the batch
+    rollup on the closed buckets."""
+    import pandas as _pd
+
+    from tslib_spark.operators.retention import TierStore
+    from tslib_spark.operators.rollup import rollup
+    from tslib_spark.streaming.stream import ingest_to_store
+
+    base = _pd.Timestamp("2026-03-09 00:00:00")
+    rows = [
+        ("u1", "en", base + _pd.Timedelta(minutes=m), float(m % 7), f"p{m}")
+        for m in range(0, 40)
+    ]
+    rows.append(("flush", "xx", base + _pd.Timedelta(minutes=300), 0.0, "zz"))
+    f1 = _pd.DataFrame(rows, columns=["url", "lang", "warc_ts", "val", "payload"])
+    src = str(tmp_path / "csrc")
+    spark.createDataFrame(f1).coalesce(1).write.parquet(src)
+
+    store = TierStore(
+        spark, str(tmp_path / "cstore"), ["url", "lang"],
+        compressed_tiers={"minute"},
+    )
+    schema = "url string, lang string, warc_ts timestamp, val double, payload string"
+    q = ingest_to_store(
+        spark, src, schema, store, "warc_ts", "val",
+        content_cols=["url", "payload"], watermark="10 minutes",
+        checkpoint_dir=str(tmp_path / "cckpt"),
+    )
+    q.awaitTermination(180)
+
+    cutoff = base + _pd.Timedelta(minutes=290)
+    got = (
+        store.read_tier("minute")
+        .filter(F.col("bucket_ts") < F.lit(cutoff))
+        .toPandas().sort_values("bucket_ts").reset_index(drop=True)
+    )
+    want = (
+        rollup(spark.createDataFrame(f1), ["url", "lang"], "warc_ts", "val", "minute")
+        .filter(F.col("bucket_ts") < F.lit(cutoff))
+        .toPandas().sort_values("bucket_ts").reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 40
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    assert [str(x) for x in got["val_sum"]] == [str(x) for x in want["val_sum"]]
+    # the stored bytes really are compressed chunks, not raw state rows
+    raw_cols = set(spark.read.parquet(store.tier_path("minute")).columns)
+    assert "val_blob" in raw_cols or "blob" in raw_cols or "ts_start" in raw_cols
