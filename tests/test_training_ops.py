@@ -492,3 +492,268 @@ def test_knn_graph_banded_and_capped(spark):
         df, "embedding", "vec_id", dim=8, k=3, n_planes=5, n_bands=2, max_bucket=0
     ).count()
     assert empty == 0
+
+
+class _JpegEnc:
+    """Minimal baseline-JPEG encoder for the decode oracle: forward DCT +
+    quantization + canonical equal-length Huffman tables written into DHT
+    (no reliance on the Annex-K example tables), 0xFF byte stuffing,
+    optional restart markers, 4:4:4 / 4:2:0 / grayscale."""
+
+    def __init__(self):
+        import numpy as np
+
+        self.C = np.array(
+            [
+                [
+                    (np.sqrt(0.125) if u == 0 else 0.5)
+                    * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+        from tslib_spark.operators.jpeg import ZIGZAG
+
+        self.ZZ = ZIGZAG
+        self.Qnat = np.ones((8, 8), dtype=np.int32)  # near-lossless
+
+    def _blocks(self, plane):
+        h, w = plane.shape
+        H, W = -(-h // 8) * 8, -(-w // 8) * 8
+        p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge").astype(np.float64)
+        out = []
+        for by in range(H // 8):
+            for bx in range(W // 8):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                D = self.C @ (blk - 128.0) @ self.C.T
+                q = np.rint(D / self.Qnat).astype(np.int32)
+                out.append(q.ravel()[self.ZZ])
+        return out, H // 8, W // 8
+
+    @staticmethod
+    def _cat(v):
+        return int(abs(int(v))).bit_length()
+
+    def _symbolize(self, zz, pred):
+        """One block → (dc_sym, ac_syms, bit-emissions, new_pred)."""
+        emits = []
+        diff = int(zz[0]) - pred
+        t = self._cat(diff)
+        bits = diff if diff >= 0 else diff + (1 << t) - 1
+        emits.append(("dc", t, bits, t))
+        k = 1
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                emits.append(("ac", 0xF0, 0, 0))
+                run -= 16
+            s = self._cat(v)
+            bits = v if v >= 0 else v + (1 << s) - 1
+            emits.append(("ac", (run << 4) | s, bits, s))
+            run = 0
+        if run:
+            emits.append(("ac", 0x00, 0, 0))
+        return emits, int(zz[0])
+
+    def encode(self, img, subsampling="444", restart=0):
+        """img: (h, w) gray uint8 or (h, w, 3) RGB uint8 → JPEG bytes."""
+        import struct
+
+        gray = img.ndim == 2
+        h, w = img.shape[:2]
+        if gray:
+            planes = [img.astype(np.float64)]
+            samp = [(1, 1)]
+        else:
+            f = img.astype(np.float64)
+            Y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+            Cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+            Cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+            if subsampling == "420":
+                H2, W2 = -(-h // 2) * 2, -(-w // 2) * 2
+                def ds(p):
+                    p = np.pad(p, ((0, H2 - h), (0, W2 - w)), mode="edge")
+                    return p.reshape(H2 // 2, 2, W2 // 2, 2).mean(axis=(1, 3))
+                planes = [Y, ds(Cb), ds(Cr)]
+                samp = [(2, 2), (1, 1), (1, 1)]
+            else:
+                planes = [Y, Cb, Cr]
+                samp = [(1, 1), (1, 1), (1, 1)]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        mcols, mrows = -(-w // mcu_w), -(-h // mcu_h)
+
+        # per-component zigzag blocks in raster order, then interleave MCUs
+        comp_blocks = []
+        for p, (hs, vs) in zip(planes, samp):
+            # pad the plane so its block grid is (mrows*vs, mcols*hs)
+            ph, pw = mrows * vs * 8, mcols * hs * 8
+            p2 = np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+            )
+            blocks, brows, bcols = self._blocks(p2)
+            comp_blocks.append((blocks, bcols))
+
+        stream = []  # (comp_idx, zigzag block) in MCU-interleaved order
+        for my in range(mrows):
+            for mx in range(mcols):
+                for ci, (hs, vs) in enumerate(samp):
+                    blocks, bcols = comp_blocks[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            stream.append(
+                                (ci, blocks[(my * vs + by) * bcols + mx * hs + bx])
+                            )
+
+        # pass 1: symbol frequencies (shared table id 0 for all comps)
+        mcu_size = sum(hs * vs for hs, vs in samp)
+        dc_syms, ac_syms = set(), set()
+        pred = [0] * len(samp)
+        emissions = []
+        for idx, (ci, zz) in enumerate(stream):
+            if restart and idx % (restart * mcu_size) == 0 and idx:
+                pred = [0] * len(samp)
+            emits, pred[ci] = self._symbolize(zz, pred[ci])
+            emissions.append(emits)
+            for kind, sym, _, _ in emits:
+                (dc_syms if kind == "dc" else ac_syms).add(sym)
+
+        def canonical(syms):
+            syms = sorted(syms)
+            L = 1
+            while (1 << L) - 1 < len(syms):
+                L += 1
+            bits = [0] * 16
+            bits[L - 1] = len(syms)
+            return bits, syms, {s: (L, c) for c, s in enumerate(syms)}
+
+        dc_bits, dc_list, dc_code = canonical(dc_syms)
+        ac_bits, ac_list, ac_code = canonical(ac_syms)
+
+        out = bytearray(b"\xff\xd8")
+        dqt = bytes([0]) + bytes(int(x) for x in self.Qnat.ravel()[self.ZZ])
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(samp)])
+        for ci, (hs, vs) in enumerate(samp):
+            sof += bytes([ci + 1, (hs << 4) | vs, 0])
+        out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        for cls, (bits, symlist) in ((0, (dc_bits, dc_list)), (1, (ac_bits, ac_list))):
+            body = bytes([(cls << 4) | 0]) + bytes(bits) + bytes(symlist)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        if restart:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+        sos = bytes([len(samp)])
+        for ci in range(len(samp)):
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        # pass 2: entropy-coded bits with stuffing + restarts
+        acc, nacc = 0, 0
+        ecs = bytearray()
+
+        def put(code, length):
+            nonlocal acc, nacc
+            acc = (acc << length) | code
+            nacc += length
+            while nacc >= 8:
+                byte = (acc >> (nacc - 8)) & 0xFF
+                ecs.append(byte)
+                if byte == 0xFF:
+                    ecs.append(0x00)
+                nacc -= 8
+
+        def flush():
+            nonlocal acc, nacc
+            if nacc:
+                byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+                ecs.append(byte)
+                if byte == 0xFF:
+                    ecs.append(0x00)
+            acc, nacc = 0, 0
+
+        rst = 0
+        for idx, emits in enumerate(emissions):
+            if restart and idx and idx % (restart * mcu_size) == 0:
+                flush()
+                ecs += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+            for kind, sym, bits, nbits in emits:
+                L, c = (dc_code if kind == "dc" else ac_code)[sym]
+                put(c, L)
+                if nbits:
+                    put(bits, nbits)
+        flush()
+        out += ecs + b"\xff\xd9"
+        return bytes(out)
+
+
+def test_jpeg_decode_444_and_gray():
+    """Baseline JPEG decode vs the independent test encoder: near-lossless
+    quant tables → pooled luma features match the original image's within
+    rounding noise; dimensions from SOF."""
+    from tslib_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(5)
+    # smooth image (random DCT noise stresses rounding; smooth is realistic)
+    yy, xx = np.mgrid[0:21, 0:13]
+    rgb = np.stack(
+        [
+            (127 + 90 * np.sin(xx / 3 + c) * np.cos(yy / 4 - c)).clip(0, 255)
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    enc = _JpegEnc()
+    w, h, luma = decode_jpeg(enc.encode(rgb, "444"))
+    assert (w, h) == (13, 21)
+    f = rgb.astype(np.float64)
+    want_y = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]) / 255.0
+    assert np.abs(luma - want_y).max() < 0.02
+
+    gray = (127 + 100 * np.sin(xx * yy / 40.0)).clip(0, 255).astype(np.uint8)
+    w2, h2, luma2 = decode_jpeg(enc.encode(gray))
+    assert (w2, h2) == (13, 21)
+    assert np.abs(luma2 - gray / 255.0).max() < 0.02
+
+
+def test_jpeg_decode_420_with_restarts():
+    """4:2:0 subsampling (2x2 Y blocks per MCU, chroma upsampled) and
+    restart markers (DC predictor reset, byte-aligned RSTn)."""
+    from tslib_spark.operators.jpeg import decode_jpeg
+
+    yy, xx = np.mgrid[0:37, 0:29]
+    rgb = np.stack(
+        [
+            (127 + 90 * np.cos(xx / 5 + c * 2) * np.sin(yy / 6 + c)).clip(0, 255)
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    enc = _JpegEnc()
+    w, h, luma = decode_jpeg(enc.encode(rgb, "420", restart=2))
+    assert (w, h) == (29, 37)
+    f = rgb.astype(np.float64)
+    want_y = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]) / 255.0
+    assert np.abs(luma - want_y).max() < 0.02
+
+
+def test_jpeg_rejects_unsupported():
+    from tslib_spark.operators.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG1234")
+    enc = _JpegEnc()
+    good = enc.encode(np.full((8, 8), 99, dtype=np.uint8))
+    # flip SOF0 to SOF2 (progressive) — must refuse, not mis-decode
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="progressive|baseline"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="truncated|no SOS"):
+        decode_jpeg(good[:40])

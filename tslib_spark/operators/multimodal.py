@@ -329,14 +329,20 @@ def _decode_real(payload: bytes) -> dict:
         w, h, feats = decode_png(payload)
         return {"mime": "image/png", "width": w, "height": h,
                 "duration_ms": None, "features": feats}
+    if payload[:3] == b"\xff\xd8\xff":
+        from tslib_spark.operators.jpeg import decode_jpeg
+
+        w, h, luma = decode_jpeg(payload)
+        return {"mime": "image/jpeg", "width": w, "height": h,
+                "duration_ms": None, "features": _pool_gray(luma)}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         dur, feats = decode_wav(payload)
         return {"mime": "audio/wav", "width": None, "height": None,
                 "duration_ms": dur, "features": feats}
     raise NotImplementedError(
-        "only PPM (P6), PNG, and WAV (PCM) decode without external media "
-        "libs; this container ships none (JPEG/MP4 stay gated) — pass "
-        "fake=True for the deterministic stub"
+        "only PPM (P6), PNG, baseline JPEG, and WAV (PCM) decode without "
+        "external media libs; this container ships none (video containers "
+        "stay gated) — pass fake=True for the deterministic stub"
     )
 
 
