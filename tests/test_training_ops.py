@@ -757,3 +757,126 @@ def test_jpeg_rejects_unsupported():
         decode_jpeg(prog)
     with pytest.raises(ValueError, match="truncated|no SOS"):
         decode_jpeg(good[:40])
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    color=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(w, h, color, seed):
+    """Any 8-bit image, any per-row filter mix → PNG decode reconstructs
+    bit-exactly (features equal the independent pooled-luma oracle)."""
+    from tslib_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(seed)
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    filters = [int(x) for x in rng.integers(0, 5, size=h)] or [0]
+    got_w, got_h, feats = decode_png(_png_bytes(px, color=color, filters=filters))
+    assert (got_w, got_h) == (w, h)
+    scaled = px.astype(np.float64) / 255.0
+    if ch >= 3:
+        gray = scaled[:, :, :3] @ np.array([0.299, 0.587, 0.114])
+    else:
+        gray = scaled[:, :, 0]
+    np.testing.assert_allclose(feats, _pool_oracle(gray), atol=1e-12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    sub=st.sampled_from(["444", "420"]),
+    restart=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_roundtrip_property(w, h, sub, restart, seed):
+    """Random smooth RGB at near-lossless quantization → decoded luma
+    within rounding noise of the original, any subsampling/restart mix."""
+    from tslib_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    phase = rng.uniform(0, 6.28, 6)
+    rgb = np.stack(
+        [
+            (127 + 90 * np.sin(xx / 4 + phase[c]) * np.cos(yy / 5 + phase[3 + c]))
+            .clip(0, 255)
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    got_w, got_h, luma = decode_jpeg(_JpegEnc().encode(rgb, sub, restart=restart))
+    assert (got_w, got_h) == (w, h)
+    f = rgb.astype(np.float64)
+    want_y = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]) / 255.0
+    assert np.abs(luma - want_y).max() < 0.02
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_bytes(duration_s: float, w: int, h: int, codec: bytes = b"avc1", v1: bool = False) -> bytes:
+    """Independent minimal ISO-BMFF builder: ftyp + moov(mvhd + trak(tkhd
+    + mdia(minf(stbl(stsd(codec))))))."""
+    import struct
+
+    scale = 1000
+    dur = int(duration_s * scale)
+    if v1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + struct.pack(">I", scale) + struct.pack(">Q", dur) + b"\x00" * 80
+    else:
+        mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + struct.pack(">I", scale) + struct.pack(">I", dur) + b"\x00" * 80
+    tkhd = bytes([0, 0, 0, 0]) + b"\x00" * 72 + struct.pack(">II", w << 16, h << 16)
+    entry = struct.pack(">I", 16) + codec + b"\x00" * 8  # minimal sample entry
+    stsd = _mp4_box(b"stsd", bytes([0, 0, 0, 0]) + struct.pack(">I", 1) + entry)
+    minf = _mp4_box(b"minf", _mp4_box(b"stbl", stsd))
+    mdia = _mp4_box(b"mdia", minf)
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp4_metadata_parse_and_frame_plan(spark):
+    """MP4 box walk extracts duration/dimensions/codec without frame
+    decode, and the duration feeds frame_sample's per-frame plan —
+    the composition a video corpus pipeline runs."""
+    from tslib_spark.operators.multimodal import parse_mp4_meta
+
+    mp4 = _mp4_bytes(3.5, 640, 360)
+    meta = parse_mp4_meta(mp4)
+    assert meta == {"duration_ms": 3500, "width": 640, "height": 360, "codecs": ["avc1"]}
+    # 64-bit (version 1) mvhd variant
+    assert parse_mp4_meta(_mp4_bytes(2.0, 320, 240, b"hev1", v1=True))["duration_ms"] == 2000
+
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        parse_mp4_meta(b"\x00\x00\x00\x08junk")
+    with pytest.raises(ValueError, match="truncated MP4"):
+        parse_mp4_meta(mp4[:-10])
+
+    media = make_media_table(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "blob": [mp4]})),
+        "doc_id", "blob", "video",
+    )
+    got = decode_media(media, fake=False).toPandas().iloc[0]
+    assert (got["mime"], got["width"], got["height"], got["duration_ms"]) == (
+        "video/mp4", 640, 360, 3500,
+    )
+    assert got["features"] is None
+    frames = frame_sample(
+        decode_media(media, fake=False).join(
+            media.select("media_id", "payload"), "media_id"
+        ).select("media_id", "kind", "payload", "duration_ms"),
+        every_ms=1000,
+    ).toPandas()
+    assert frames["frame_ms"].tolist() == [0, 1000, 2000, 3000]

@@ -259,6 +259,91 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, _pool_gray(gray)
 
 
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over ISO-BMFF boxes in range."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        btype = buf[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated MP4: largesize header cut off")
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i  # box extends to end of enclosing scope
+        if size < hdr or i + size > end:
+            raise ValueError(
+                f"truncated MP4: box {btype!r} declares {size} bytes at {i}"
+            )
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) metadata WITHOUT frame decode: a pure box walk
+    extracting container duration (mvhd), video track dimensions (tkhd),
+    and sample-entry codec fourccs (stsd). Frame decode needs real codec
+    libraries and stays env-gated; the metadata path is what a corpus
+    pipeline needs to plan per-frame work (frame_sample consumes the
+    duration) and to filter/partition by codec and resolution."""
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) file")
+    duration_ms = None
+    width = height = None
+    codecs: list[str] = []
+
+    def walk_trak(s: int, e: int) -> None:
+        nonlocal width, height
+        for t, bs, be in _mp4_boxes(payload, s, e):
+            if t == b"tkhd":
+                ver = payload[bs]
+                off = bs + (88 if ver == 1 else 76)
+                if off + 8 <= be:
+                    w16 = int.from_bytes(payload[off : off + 4], "big") / 65536
+                    h16 = int.from_bytes(payload[off + 4 : off + 8], "big") / 65536
+                    if w16 and h16 and width is None:
+                        width, height = int(round(w16)), int(round(h16))
+            elif t == b"mdia":
+                for t2, cs, ce in _mp4_boxes(payload, bs, be):
+                    if t2 == b"minf":
+                        for t3, ds, de in _mp4_boxes(payload, cs, ce):
+                            if t3 == b"stbl":
+                                for t4, es, ee in _mp4_boxes(payload, ds, de):
+                                    if t4 == b"stsd" and es + 16 <= ee:
+                                        codecs.append(
+                                            payload[es + 12 : es + 16].decode(
+                                                "latin1"
+                                            )
+                                        )
+
+    for t, bs, be in _mp4_boxes(payload, 0, len(payload)):
+        if t != b"moov":
+            continue
+        for t1, s, e in _mp4_boxes(payload, bs, be):
+            if t1 == b"mvhd":
+                ver = payload[s]
+                if ver == 1:
+                    scale = int.from_bytes(payload[s + 20 : s + 24], "big")
+                    dur = int.from_bytes(payload[s + 24 : s + 32], "big")
+                else:
+                    scale = int.from_bytes(payload[s + 12 : s + 16], "big")
+                    dur = int.from_bytes(payload[s + 16 : s + 20], "big")
+                if scale:
+                    duration_ms = int(round(dur / scale * 1000))
+            elif t1 == b"trak":
+                walk_trak(s, e)
+    if duration_ms is None:
+        raise ValueError("MP4 has no moov/mvhd metadata")
+    return {
+        "duration_ms": duration_ms,
+        "width": width,
+        "height": height,
+        "codecs": codecs,
+    }
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE PCM → (duration_ms, features): chunk walk, numpy sample
     decode. Features are the FEATURE_DIM-bin mean-|amplitude| envelope of
@@ -339,10 +424,18 @@ def _decode_real(payload: bytes) -> dict:
         dur, feats = decode_wav(payload)
         return {"mime": "audio/wav", "width": None, "height": None,
                 "duration_ms": dur, "features": feats}
+    if payload[4:8] == b"ftyp":
+        meta = parse_mp4_meta(payload)
+        # metadata-only: duration feeds frame_sample's plan; FRAME decode
+        # needs real codec libs and stays env-gated (features = None)
+        return {"mime": "video/mp4", "width": meta["width"],
+                "height": meta["height"], "duration_ms": meta["duration_ms"],
+                "features": None}
     raise NotImplementedError(
-        "only PPM (P6), PNG, baseline JPEG, and WAV (PCM) decode without "
-        "external media libs; this container ships none (video containers "
-        "stay gated) — pass fake=True for the deterministic stub"
+        "only PPM (P6), PNG, baseline JPEG, WAV (PCM), and MP4 metadata "
+        "parse without external media libs; this container ships none "
+        "(video FRAME decode stays gated) — pass fake=True for the "
+        "deterministic stub"
     )
 
 
@@ -382,7 +475,11 @@ def decode_media(df: DataFrame, fake: bool = False, batch_note_col: bool = False
                     "width": pd.array([r["width"] for r in rows], dtype="Int32"),
                     "height": pd.array([r["height"] for r in rows], dtype="Int32"),
                     "duration_ms": pd.array([r["duration_ms"] for r in rows], dtype="Int32"),
-                    "features": [np.asarray(r["features"]).tolist() for r in rows],
+                    "features": [
+                        None if r["features"] is None
+                        else np.asarray(r["features"]).tolist()
+                        for r in rows
+                    ],
                 }
             )
             if batch_note_col:
