@@ -731,6 +731,40 @@ def _q_cosine_near_dup(spark, sf_dir):
     )
 
 
+def _q_media_decode(spark, sf_dir):
+    """Multimodal decode as a hash-checked contract query: 24 deterministic
+    payloads (P6 PPM images / PCM WAVs, datagen/media.py) flow through
+    make_media_table → byte-budget repartition → the REAL decode_media
+    path (mapInPandas, no fake), features exploded to scalar rows. The
+    frozen oracle (fixtures/media_decode.parquet) computes the expected
+    pooled-luma / amplitude-envelope features with ITS OWN math over the
+    same known pixels/samples — the decoders are never consulted
+    (scripts/freeze_oracles.py:freeze_media_decode)."""
+    from tslib_spark.datagen.media import synth_media_payloads
+    from tslib_spark.operators.multimodal import (
+        decode_media, make_media_table, media_repartition,
+    )
+
+    pdf = __import__("pandas").DataFrame(
+        synth_media_payloads(24), columns=["media_id", "payload"]
+    )
+    media = make_media_table(
+        spark.createDataFrame(pdf), "media_id", "payload", "mixed"
+    )
+    decoded = decode_media(media_repartition(media, target_bytes=4096), fake=False)
+    return decoded.select(
+        "media_id",
+        "mime",
+        F.coalesce(F.col("width"), F.lit(-1)).cast("long").alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).cast("long").alias("height"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1)).cast("long").alias("duration_ms"),
+        F.posexplode("features").alias("fidx", "fval"),
+    ).select(
+        "media_id", "mime", "width", "height", "duration_ms",
+        F.col("fidx").cast("long"), "fval",
+    )
+
+
 def _q_embedding_dup_clusters(spark, sf_dir):
     """Embedding-side fuzzy dedup composed end to end: multiband
     hyperplane-LSH candidates → exact-cosine verify (≥0.9, the same
@@ -831,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": _q_cosine_near_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "knn_graph": _q_knn_graph,
+        "media_decode": _q_media_decode,
         "ivf_topk": _q_ivf_topk,
     }
 
@@ -1354,6 +1389,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": """
             SELECT id_a, id_b, cosine, rank
             FROM read_parquet('/root/repo/fixtures/knn_graph_sf001.parquet')
+        """,
+        "media_decode": """
+            SELECT media_id, mime, width, height, duration_ms, fidx, fval
+            FROM read_parquet('/root/repo/fixtures/media_decode_sf001.parquet')
         """,
         "embedding_dup_clusters": """
             WITH RECURSIVE sym AS (
