@@ -204,6 +204,7 @@ def contract_queries(spark, sf_dir: str) -> dict[str, float]:
         "svd_impute", "svd_forecast", "cosine_near_dup", "doc_components",
         "pack_sequences", "hash_split", "substring_dups", "contamination",
         "quality_filter", "repetition_signals", "url_parse",
+        "knn_graph", "embedding_dup_clusters", "media_decode",
     ]
     qs = entrymod.queries()
     out = {}
@@ -278,7 +279,16 @@ def _scaling(result: dict) -> None:
     # the 8-core leg amortizes — an asymmetric bias against the lo leg
     base = int(os.environ.get("SPARK_GRAFT_SCALE_CORE_BASE", "16"))
 
-    def run_pinned(c: int) -> tuple[float, int, float, float]:
+    # window-quality anchor: the hi level's best known-achievable job
+    # throughput, recorded in a verified-quiet window (scaling_r4b,
+    # 2026-08-17: 4.0M rolled points in 6.21 s at 8 cores with ballast).
+    # A run whose BEST hi-level sample can't reach a large fraction of
+    # this is measuring a degraded machine, whatever steal/probes say —
+    # direct, job-relevant evidence that no proxy probe can fake.
+    hi_ref_pps = float(os.environ.get("SPARK_GRAFT_HI_REF_PPS", "600000"))
+    target_eff = 0.8  # BASELINE.json north_rule: N->4N efficiency >= 0.8
+
+    def run_pinned(c: int) -> tuple[float, int, float, float, float]:
         cores = f"{base}-{base + c - 1}"
         cmd = [
             "taskset", "-c", cores, sys.executable,
@@ -312,6 +322,7 @@ def _scaling(result: dict) -> None:
             int(parsed["rows"]),
             float(parsed.get("steal_frac", 0.0)),
             float(parsed.get("probe_mops", 0.0)),
+            float(parsed.get("bw_gbs", 0.0)),
         )
 
     # co-tenant load on this shared box drifts on minute scales, so the
@@ -324,6 +335,7 @@ def _scaling(result: dict) -> None:
     secs: dict[int, list[float]] = {c: [] for c in levels}
     steals: dict[int, list[float]] = {c: [] for c in levels}
     probes: dict[int, list[float]] = {c: [] for c in levels}
+    bws: dict[int, list[float]] = {c: [] for c in levels}
     job_rows = 0
     t_start = time.time()
 
@@ -355,10 +367,11 @@ def _scaling(result: dict) -> None:
         # the mid level feeds the slope regression, not the headline
         round_levels = levels if rounds_done < min_rounds else [lo_cpus, hi_cpus]
         for c in sorted(round_levels, reverse=True):
-            s, job_rows, st, pr = run_pinned(c)
+            s, job_rows, st, pr, bw = run_pinned(c)
             secs[c].append(s)
             steals[c].append(st)
             probes[c].append(pr)
+            bws[c].append(bw)
         rounds_done += 1
         concordant = concordant_set(clean_pairs())
         if rounds_done >= min_rounds and len(concordant) >= k_concordant:
@@ -395,13 +408,26 @@ def _scaling(result: dict) -> None:
     # the headline: median of the concordant clean set when it reached
     # quorum, else the degraded-window fallback chain (clean median,
     # then all-pairs median) with the evidence recorded
-    degraded = len(concordant) < k_concordant
-    if not degraded:
+    no_quorum = len(concordant) < k_concordant
+    if not no_quorum:
         speedup_headline = statistics.median(concordant)
     elif speedup_clean is not None:
         speedup_headline = speedup_clean
     else:
         speedup_headline = speedup_med_all
+    # window quality: concordance alone cannot certify the window — a
+    # CONSISTENTLY loaded half-hour produces concordant under-target
+    # ratios with ~0 steal and near-quiet ALU probes (observed: jobs 30%
+    # slow, probe_mops −3%). The direct evidence is the job itself: if
+    # this run's best hi-level sample cannot reach most of the
+    # known-achievable reference throughput, the machine was degraded.
+    # Only flags when the headline also misses the target — a slow
+    # window that still scales is a pass, not an excuse.
+    factor = hi_cpus / lo_cpus
+    hi_best_pps = job_rows / best[hi_cpus] if best[hi_cpus] else 0.0
+    ref_fraction = hi_best_pps / hi_ref_pps if hi_ref_pps else 1.0
+    eff_headline = speedup_headline / factor
+    degraded = no_quorum or (eff_headline < target_eff and ref_fraction < 0.85)
     # throughput-per-core regression across the levels (quietest run
     # per level): OLS slope vs the ideal slope set by the lo level
     thr = {c: job_rows / best[c] for c in levels}
@@ -412,7 +438,6 @@ def _scaling(result: dict) -> None:
         (x - xbar) ** 2 for x in xs
     )
     ideal_per_core = thr[lo_cpus] / lo_cpus
-    factor = hi_cpus / lo_cpus
     result["scaling"] = {
         "job": "scan -> 1-minute rollup -> window-salted Gorilla encode (one linear action)",
         "cpus": levels,
@@ -421,10 +446,17 @@ def _scaling(result: dict) -> None:
         "secs": {str(c): [round(s, 2) for s in secs[c]] for c in levels},
         "steal_frac": {str(c): [round(s, 4) for s in steals[c]] for c in levels},
         "probe_mops": {str(c): [round(p, 2) for p in probes[c]] for c in levels},
+        "bw_gbs": {str(c): [round(b, 1) for b in bws[c]] for c in levels},
         "points_per_sec": {str(c): round(thr[c], 1) for c in levels},
         "speedup": round(speedup_headline, 3),
-        "efficiency": round(speedup_headline / factor, 3),
+        "efficiency": round(eff_headline, 3),
         "degraded_window": degraded,
+        "window_quality": {
+            "hi_best_points_per_sec": round(hi_best_pps, 1),
+            "hi_ref_points_per_sec": hi_ref_pps,
+            "fraction_of_ref": round(ref_fraction, 3),
+            "quorum_reached": not no_quorum,
+        },
         "concordant_pairs": len(concordant),
         "concordant_ratios": [round(r, 3) for r in concordant],
         "efficiency_all_pairs_median": round(speedup_med_all / factor, 3),
@@ -448,11 +480,15 @@ def _scaling(result: dict) -> None:
             "resampled until >= K steal-clean (lo,hi) pairs agree within "
             f"{tol:.0%} or the budget expires; headline efficiency = median "
             "of that concordant set; degraded_window=true means concordance "
-            "was not reached and the headline falls back to the steal-clean "
-            "median with per-leg steal_frac + probe_mops as machine "
-            "evidence; probe_mops = effective per-core speed measured "
-            "around each leg (catches frequency/LLC noise invisible to "
-            "steal); ratio_of_mins and best_round are secondary bounds; "
+            "was not reached OR the headline missed the 0.8 target while "
+            "the run's best hi-level throughput fell short of the "
+            "known-achievable reference (window_quality.fraction_of_ref < "
+            "0.85 — the machine itself was degraded, attributed by the job, "
+            "with per-leg steal_frac + probe_mops + bw_gbs as supporting "
+            "evidence); probe_mops = effective per-core ALU speed, bw_gbs "
+            "= concurrent per-core memory-copy bandwidth (catches the "
+            "LLC/bandwidth noise invisible to steal and ALU probes); "
+            "ratio_of_mins and best_round are secondary bounds; "
             "slope_ideal_fraction = OLS throughput-per-core slope vs the "
             "lo-level ideal; see BENCH.md calibrations"
         ),

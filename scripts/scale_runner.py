@@ -71,6 +71,45 @@ def _probe_speed(cores: set[int]) -> float:
     return sum(speeds) / len(speeds)
 
 
+def _bw_child(core: int, conn) -> None:
+    """Per-core memory-copy stream: measures the bandwidth share this core
+    can get with ALL measured cores streaming at once. ALU probes are
+    blind to bandwidth/LLC contention (a window can run jobs 30% slow
+    with probe_mops within 3% of quiet); this probe sees it."""
+    os.sched_setaffinity(0, {core})
+    import numpy as np
+
+    a = np.ones(8 * 1024 * 1024, dtype=np.float64)  # 64 MB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault-in before timing (cold-alloc gotcha)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        best = min(best, time.perf_counter() - t0)
+    conn.send(2 * a.nbytes / best / 1e9)
+    conn.close()
+
+
+def _bw_probe(cores: set[int]) -> float:
+    """Aggregate GB/s across concurrent per-core streams on the measured
+    cores (the leg's actual bandwidth footprint shape)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    procs = []
+    for core in sorted(cores):
+        parent, child = ctx.Pipe(duplex=False)
+        p = ctx.Process(target=_bw_child, args=(core, child))
+        p.start()
+        procs.append((p, parent))
+    total = 0.0
+    for p, parent in procs:
+        total += parent.recv()
+        p.join()
+    return total
+
+
 def _steal_jiffies(cores: set[int]) -> int:
     """Sum of per-cpu steal jiffies (field 8 of /proc/stat cpuN lines) over
     the pinned cores — hypervisor-level CPU theft, the noise source this
@@ -96,6 +135,7 @@ def main() -> None:
     cores = set(os.sched_getaffinity(0))
     hz = os.sysconf("SC_CLK_TCK")
     probe_before = _probe_speed(cores)
+    bw_before = _bw_probe(cores)
 
     spark = get_spark(
         f"bench-scale-{cpus}",
@@ -119,6 +159,7 @@ def main() -> None:
     (secs, rows, steal) = min((measured() for _ in range(2)), key=lambda t: t[0])
     spark.stop()
     probe_after = _probe_speed(cores)
+    bw_after = _bw_probe(cores)
     print(
         json.dumps(
             {
@@ -129,6 +170,7 @@ def main() -> None:
                 # (a probe can itself be hit by a steal burst; the max is
                 # the least-contaminated view of the window's clock)
                 "probe_mops": round(max(probe_before, probe_after), 2),
+                "bw_gbs": round(max(bw_before, bw_after), 1),
             }
         )
     )
