@@ -137,3 +137,52 @@ def test_cosine_near_dup_multiband_recall_at_08(spark):
     assert recall >= 0.9, f"multiband near-dup recall at 0.8 = {recall}"
     assert (pairs["cosine"] >= 0.8).all()
     assert found <= truth  # exact verify admits no false positives
+
+
+def test_knn_graph_empty_and_single_vector(spark):
+    """Degenerate kNN inputs: zero rows and one row both yield an empty
+    graph (no self-pairs, no crash in the banded candidate path)."""
+    import pandas as pd
+
+    from tslib_spark.operators.similarity import pairwise_topk_per_row
+
+    empty = spark.createDataFrame(
+        pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                      "embedding": pd.Series([], dtype="object")}),
+        "vec_id long, embedding array<double>",
+    )
+    assert pairwise_topk_per_row(empty, "embedding", "vec_id", dim=4).count() == 0
+    one = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 0.0, 0.0, 0.0]]})
+    )
+    assert pairwise_topk_per_row(one, "embedding", "vec_id", dim=4).count() == 0
+
+
+def test_pack_sequences_empty_input(spark):
+    from tslib_spark.operators.packing import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id long, n_tok long")
+    assert pack_sequences(empty, "n_tok", "doc_id", budget=100).count() == 0
+
+
+def test_url_domain_null_and_garbage(spark):
+    """NULL and unparsable URLs flow through as NULL in both domain
+    flavors (no empty-string sink, no exception)."""
+    from pyspark.sql import functions as F
+
+    from tslib_spark.functions.web import url_domain, url_domain_psl
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "not a url at all"), (3, "https://x.co.uk/p")],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: (r["d"], r["p"])
+        for r in df.select(
+            "id",
+            url_domain(F.col("url")).alias("d"),
+            url_domain_psl(F.col("url")).alias("p"),
+        ).collect()
+    }
+    assert got[1] == (None, None)
+    assert got[3] == ("co.uk", "x.co.uk")

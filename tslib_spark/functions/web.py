@@ -33,8 +33,14 @@ __all__ = [
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host with any leading ``www.`` stripped; NULL on unparsable."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    """Lowercased host with any leading ``www.`` stripped; NULL on unparsable.
+
+    ``try_parse_url``, not ``parse_url``: under ANSI mode (pinned on in
+    session.py) the plain variant THROWS on malformed URLs — and crawl
+    corpora contain malformed URLs as a matter of course; one garbage row
+    must not kill a 100 TB job. NULL flows through every downstream
+    expression instead."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     return F.regexp_replace(host, r"^www\.", "")
 
 
@@ -66,14 +72,14 @@ def url_domain_psl(url: Column) -> Column:
 
 
 def url_path(url: Column) -> Column:
-    """PATH part; '/' for URLs with no path."""
-    p = F.parse_url(url, F.lit("PATH"))
+    """PATH part; '/' for URLs with no path (NULL-safe, see url_host)."""
+    p = F.try_parse_url(url, F.lit("PATH"))
     return F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)
 
 
 def url_query_param(url: Column, key: str) -> Column:
-    """Value of one query parameter (NULL when absent)."""
-    return F.parse_url(url, F.lit("QUERY"), F.lit(key))
+    """Value of one query parameter (NULL when absent/unparsable)."""
+    return F.try_parse_url(url, F.lit("QUERY"), F.lit(key))
 
 
 def normalize_url(url: Column) -> Column:
