@@ -561,3 +561,48 @@ def test_ingest_chain_compressed_minute_tier(spark, tmp_path):
     # the stored bytes really are compressed chunks, not raw state rows
     raw_cols = set(spark.read.parquet(store.tier_path("minute")).columns)
     assert "val_blob" in raw_cols or "blob" in raw_cols or "ts_start" in raw_cols
+
+
+def test_ingest_chain_full_replay_is_idempotent(spark, tmp_path):
+    """At-least-once durability for the streaming tier: reprocessing the
+    ENTIRE source (fresh checkpoint → every batch replays) leaves the
+    stored minute tier bit-identical — the replace-merge upsert absorbs
+    replayed buckets instead of double-counting them, and the partition
+    lineage records the extra pass (times_updated increments)."""
+    import pandas as _pd
+
+    from tslib_spark.operators.retention import TierStore
+    from tslib_spark.streaming.stream import ingest_to_store
+
+    base = _pd.Timestamp("2026-03-16 00:00:00")
+    rows = [
+        ("u1", "en", base + _pd.Timedelta(minutes=m), float(m), f"p{m}")
+        for m in range(0, 30)
+    ]
+    rows.append(("flush", "xx", base + _pd.Timedelta(minutes=300), 0.0, "zz"))
+    f1 = _pd.DataFrame(rows, columns=["url", "lang", "warc_ts", "val", "payload"])
+    src = str(tmp_path / "rsrc")
+    spark.createDataFrame(f1).coalesce(1).write.parquet(src)
+
+    store = TierStore(spark, str(tmp_path / "rstore"), ["url", "lang"])
+    schema = "url string, lang string, warc_ts timestamp, val double, payload string"
+    for i, ckpt in enumerate(("ck1", "ck2")):  # second run replays everything
+        q = ingest_to_store(
+            spark, src, schema, store, "warc_ts", "val",
+            content_cols=["url", "payload"], watermark="10 minutes",
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+        got = (
+            store.read_tier("minute")
+            .toPandas().sort_values(["url", "bucket_ts"]).reset_index(drop=True)
+        )
+        if i == 0:
+            first = got
+        else:
+            assert len(got) == len(first)
+            assert (got["cnt"].to_numpy() == first["cnt"].to_numpy()).all()
+            assert [str(x) for x in got["val_sum"]] == [str(x) for x in first["val_sum"]]
+    cp = store.checkpoint.read()
+    lin = cp[(cp["tier"] == "minute") & (cp["partition_key"] == "2026-03-16")]
+    assert int(lin["times_updated"].iloc[0]) >= 2  # the replay pass is on record
