@@ -268,7 +268,7 @@ def _scaling(result: dict) -> None:
     levels = sorted({lo_cpus, mid_cpus, hi_cpus})
     min_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
     max_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_ROUNDS", "8"))
-    budget_secs = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1800"))
+    budget_secs = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
     k_concordant = int(os.environ.get("SPARK_GRAFT_SCALE_CONCORDANT", "3"))
     tol = float(os.environ.get("SPARK_GRAFT_SCALE_TOL", "0.15"))
     use_ballast = os.environ.get("SPARK_GRAFT_SCALE_BALLAST", "1") != "0"
