@@ -574,6 +574,42 @@ def _q_corpus_prepare(spark, sf_dir):
     ).orderBy("split")
 
 
+def _q_corpus_prepare_full(spark, sf_dir):
+    """corpus_prepare with the missing production stage: Gopher quality
+    filter → MinHash-LSH fuzzy dedup keeping one canonical doc per
+    near-dup cluster → benchmark decontamination → deterministic split →
+    per-split report (docs, tokens, and docs-represented via cluster
+    sizes). The oracle restricts the frozen all-docs MinHash pair fixture
+    to the quality-kept subset (signatures are content-local, so subset
+    pairs = full pairs ∩ subset²) and replays components + canonical keep
+    as a recursive CTE."""
+    from tslib_spark.operators.components import dedup_keep_canonical
+    from tslib_spark.operators.decontaminate import decontaminate
+    from tslib_spark.operators.dedup import near_dup_minhash
+    from tslib_spark.operators.quality_filter import quality_filter
+    from tslib_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    train_pool = docs.filter(F.col("doc_id") < 450)
+    evals = docs.filter(F.col("doc_id") >= 450)
+
+    q = quality_filter(train_pool, "doc_id", "text", min_tokens=20)
+    kept = train_pool.join(
+        q.filter(F.col("keep")).select("doc_id", "total_tokens"), "doc_id"
+    )
+    pairs = near_dup_minhash(
+        kept, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    deduped = dedup_keep_canonical(kept, "doc_id", pairs.select("id_a", "id_b"))
+    clean = decontaminate(deduped, "doc_id", "text", evals, "text", n=8)
+    split = hash_split(clean, "doc_id", {"train": 8.0, "val": 1.0, "test": 1.0}, seed=7)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("n_tokens"),
+        F.sum("cluster_size").cast("long").alias("n_represented"),
+    ).orderBy("split")
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark decontamination (operators/decontaminate.py): docs with
     doc_id >= 450 stand in for a held-out eval set; training docs
@@ -848,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "quality_filter": _q_quality_filter,
         "corpus_prepare": _q_corpus_prepare,
+        "corpus_prepare_full": _q_corpus_prepare_full,
         "dedup_canonical": _q_dedup_canonical,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
@@ -1232,6 +1269,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT sp.split,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(s.total_tokens) AS BIGINT) AS n_tokens
+            FROM survivors s JOIN sp ON s.doc_id = sp.doc_id
+            GROUP BY sp.split ORDER BY sp.split
+        """,
+        # corpus_prepare + the fuzzy-dedup stage: the frozen all-docs
+        # MinHash pair fixture restricted to quality-kept endpoints
+        # (signatures are content-local → subset pairs = full ∩ subset²),
+        # reachability CTE seeded with every kept doc (singletons get
+        # their own component), canonical = id == min-reachable-id
+        "corpus_prepare_full": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> len(t) > 0) AS t
+              FROM documents),
+            ng AS (
+              SELECT doc_id, len(t) AS total_tokens,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1),
+                                              i -> concat_ws(' ', t[i], t[i+1]))
+                          ELSE [] END AS grams
+              FROM toks WHERE doc_id < 450),
+            hist AS (
+              SELECT doc_id, ngram, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(grams) AS ngram FROM ng) GROUP BY 1, 2),
+            st AS (
+              SELECT doc_id, sum(cnt) AS ngram_total, max(cnt) AS top_cnt,
+                     sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+              FROM hist GROUP BY doc_id),
+            quality AS (
+              SELECT ng.doc_id, ng.total_tokens
+              FROM ng
+              LEFT JOIN st ON ng.doc_id = st.doc_id
+              JOIN toks tk ON tk.doc_id = ng.doc_id
+              WHERE ng.total_tokens >= 20 AND ng.total_tokens <= 100000
+                AND COALESCE(CAST(st.top_cnt AS DOUBLE) / st.ngram_total, 0.0) <= 0.20
+                AND COALESCE(CAST(st.dup_cnt AS DOUBLE) / st.ngram_total, 0.0) <= 0.40
+                AND CAST(len(regexp_replace(tk.text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                      / greatest(len(tk.text), 1) <= 0.20
+                AND CAST(len(regexp_replace(tk.text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(len(tk.text), 1) <= 0.20),
+            mh AS (
+              SELECT id_a, id_b
+              FROM read_parquet('/root/repo/fixtures/minhash_near_dup_sf001.parquet')
+              WHERE id_a IN (SELECT doc_id FROM quality)
+                AND id_b IN (SELECT doc_id FROM quality)),
+            sym AS (
+              SELECT id_a AS s, id_b AS t FROM mh
+              UNION SELECT id_b, id_a FROM mh),
+            reach(id, comp) AS (
+              SELECT doc_id, doc_id FROM quality
+              UNION
+              SELECT e.t, r.comp FROM reach r JOIN sym e ON e.s = r.id),
+            labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+            sizes AS (SELECT comp, count(*) AS cluster_size FROM labels GROUP BY comp),
+            canon AS (
+              SELECT l.id AS doc_id, z.cluster_size
+              FROM labels l JOIN sizes z USING (comp) WHERE l.id = l.comp),
+            w8 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+                            i -> array_to_string(t[i:i+7], ' '))) AS gram
+              FROM toks),
+            ev AS (SELECT DISTINCT gram FROM w8 WHERE doc_id >= 450),
+            contaminated AS (
+              SELECT DISTINCT w8.doc_id FROM w8 JOIN ev USING (gram)
+              WHERE w8.doc_id < 450),
+            survivors AS (
+              SELECT q.doc_id, q.total_tokens, c.cluster_size
+              FROM quality q JOIN canon c USING (doc_id)
+              WHERE q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            sp AS (
+              SELECT doc_id, split
+              FROM read_parquet('/root/repo/fixtures/hash_split_sf001.parquet'))
+            SELECT sp.split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(s.total_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(s.cluster_size) AS BIGINT) AS n_represented
             FROM survivors s JOIN sp ON s.doc_id = sp.doc_id
             GROUP BY sp.split ORDER BY sp.split
         """,
