@@ -205,6 +205,7 @@ def contract_queries(spark, sf_dir: str) -> dict[str, float]:
         "pack_sequences", "hash_split", "substring_dups", "contamination",
         "quality_filter", "repetition_signals", "url_parse",
         "knn_graph", "embedding_dup_clusters", "media_decode",
+        "corpus_prepare_full",
     ]
     qs = entrymod.queries()
     out = {}
