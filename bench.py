@@ -200,7 +200,7 @@ def contract_queries(spark, sf_dir: str) -> dict[str, float]:
         "rollup_minute", "downsample_hour", "downsample_week", "gapfill_interp",
         "rmse_hidden", "sessionize", "topk_users", "tpch_q1ish",
         "join_filter_project", "dedup_exact", "token_stats", "minhash_near_dup",
-        "simhash_signatures", "ann_cosine_topk", "ivf_topk", "gorilla_roundtrip",
+        "simhash_signatures", "ann_cosine_topk", "ann_methods_topk", "gorilla_roundtrip",
         "svd_impute", "svd_forecast", "cosine_near_dup", "doc_components",
         "pack_sequences", "hash_split", "substring_dups", "contamination",
         "quality_filter", "repetition_signals", "url_parse",

@@ -42,20 +42,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     spark = get_spark("contract-check", master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    e = entrymod.entry(spark)
-    n = e.count()
-    print(f"entry: {n} rows, schema={e.schema.simpleString()}")
-    assert n >= 0
-
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            print(f"unknown query names: {unknown}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
+    else:
+        e = entrymod.entry(spark)
+        n = e.count()
+        print(f"entry: {n} rows, schema={e.schema.simpleString()}")
+        assert n >= 0
     failures = []
+    seen = set()  # explicit verdict-row accounting: every registered query
+    # must produce exactly one verdict line (round-4 lesson: an ABSENT row
+    # is worse than a red one — it reads as coverage that isn't)
     for name, fn in qs.items():
+        seen.add(name)
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
@@ -97,9 +107,25 @@ def main(sf_dir: str):
             print(f"OK    {name}: {len(g)} rows exact  ({time.time()-t0:.1f}s)")
 
     spark.stop()
-    print(f"\n{len(failures)} failures: {failures}")
+    missing = sorted(set(qs) - seen)
+    if missing:
+        failures.extend(missing)
+        print(f"MISSING verdict rows (registered but never checked): {missing}")
+    if not only and set(osql) != set(qs):
+        failures.append("oracle/query key mismatch")
+        print(
+            f"KEY MISMATCH: only-in-queries={sorted(set(qs) - set(osql))} "
+            f"only-in-oracle={sorted(set(osql) - set(qs))}"
+        )
+    print(f"\nverdict rows: {len(seen)}/{len(qs)} registered; {len(failures)} failures: {failures}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    # usage: check_contract.py [sf_dir] [query_name ...]
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            only=sys.argv[2:] or None,
+        )
+    )

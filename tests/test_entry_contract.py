@@ -20,6 +20,21 @@ def test_entry_runs_with_stable_schema(spark):
     assert df.columns == ["event_type", "bucket_ts", "cnt", "val_sum", "val_mean", "rank"]
 
 
+def test_contract_registration_is_exactly_50_and_fully_oracled(spark):
+    """The driver's correctness harness records at most 50 verdict rows
+    (round 4: 51 registered → exactly the first 50 in dict order recorded,
+    the 51st silently absent). Pin the registration at exactly 50 and
+    require every query to have an oracle, so no registered query can ever
+    lack a verdict row again."""
+    qs = em.queries()
+    osql = em.oracle_sql()
+    assert len(qs) == 50, f"{len(qs)} queries registered; driver caps verdict rows at 50"
+    assert set(osql) == set(qs), (
+        f"oracle/query key mismatch: only-in-queries={sorted(set(qs) - set(osql))} "
+        f"only-in-oracle={sorted(set(osql) - set(qs))}"
+    )
+
+
 def test_every_query_is_runnable_and_oracles_are_subset(spark):
     qs = em.queries()
     osql = em.oracle_sql()
