@@ -104,6 +104,39 @@ def test_simhash_hamming_close_for_near_dups(spark, docs):
     assert (cross["hamming"] > 10).all() if len(cross) else True
 
 
+def test_hyperplane_signature_arrow_bitidentical_to_expression(spark):
+    """The Arrow batch kernel must produce BIT-identical signatures to the
+    Catalyst expression path (frozen fixtures depend on the left-to-right
+    float fold), across multiple bands and odd dims."""
+    from pyspark.sql import functions as F
+
+    from tslib_spark.operators.similarity import (
+        hyperplane_signature,
+        hyperplane_signatures_arrow,
+        make_planes,
+    )
+
+    rng = np.random.default_rng(77)
+    dim, n_rows, n_bands = 23, 500, 3
+    pdf = pd.DataFrame(
+        {"id": range(n_rows), "v": [rng.normal(size=dim).tolist() for _ in range(n_rows)]}
+    )
+    df = spark.createDataFrame(pdf)
+    bands = [make_planes(dim, 12, 42 + j) for j in range(n_bands)]
+    got = (
+        df.select(
+            "id",
+            hyperplane_signatures_arrow(bands)(F.col("v")).alias("a"),
+            *[hyperplane_signature(F.col("v"), p).alias(f"e{j}") for j, p in enumerate(bands)],
+        )
+        .toPandas()
+        .sort_values("id")
+    )
+    for j in range(n_bands):
+        arrow_j = got["a"].map(lambda r, j=j: int(r[j])).to_numpy()
+        assert (arrow_j == got[f"e{j}"].to_numpy()).all(), f"band {j} signatures diverge"
+
+
 def test_brute_force_and_lsh_topk_agree_on_head(spark):
     rng = np.random.default_rng(9)
     vecs = rng.normal(size=(300, 16))

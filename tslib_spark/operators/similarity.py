@@ -54,6 +54,12 @@ def brute_force_topk(
 def hyperplane_signature(vec_col, planes: np.ndarray):
     """Bit signature: sign of <v, plane_j> per plane, packed into a long.
 
+    Pure-expression reference path: the production callers use
+    ``hyperplane_signatures_arrow`` (vectorized, bit-identical —
+    pytest-pinned against this function), because the higher-order
+    aggregate here runs O(planes × dim) *interpreted* lambda ops per row.
+    Kept as the independent cross-check and for one-off column use.
+
     ``planes`` is a (n_planes, dim) numpy array shipped as ONE flat
     ArrayType literal (a single Catalyst Literal node) — not ``n_planes ×
     dim`` scalar literals, which at dim 768 × 16 planes would be a ~12k-node
@@ -86,6 +92,50 @@ def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(n_planes, dim))
 
 
+def hyperplane_signatures_arrow(planes_per_band: list[np.ndarray]):
+    """Arrow batch path for hyperplane signatures: one pandas_udf computing
+    ALL bands' signatures per row, returned as ``array<long>``.
+
+    The expression path (``hyperplane_signature``) evaluates
+    O(bands × planes × dim) *interpreted* higher-order-lambda ops per row —
+    at 768-dim production embeddings that is ~25k lambda evaluations per
+    row, the single biggest CPU cost in the near-dup/kNN family. Here the
+    same arithmetic runs as numpy column ops over the whole Arrow batch.
+
+    Bit-identity contract: Catalyst's ``aggregate`` folds the dot product
+    strictly left-to-right in float64 (((0 + x₀p₀) + x₁p₁) + …), and the
+    frozen similarity fixtures replicate that order. So this kernel does
+    NOT use a matmul (BLAS reorders/pairwise-sums, which could flip the
+    sign of a near-zero dot) — it folds over the dim axis in index order,
+    vectorized across rows and planes. Every elementwise numpy op is the
+    same IEEE-754 double multiply/add the JVM performs, so signatures are
+    bit-identical to the expression path (pytest-pinned)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bands = [np.ascontiguousarray(p, dtype=np.float64) for p in planes_per_band]
+    all_planes = np.concatenate(bands, axis=0)  # (total_planes, dim)
+    offsets = np.cumsum([0] + [b.shape[0] for b in bands])
+
+    @pandas_udf("array<long>")
+    def _sigs(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
+        n, dim = X.shape
+        acc = np.zeros((n, all_planes.shape[0]), dtype=np.float64)
+        for d in range(dim):  # ordered fold == Catalyst's left-to-right sum
+            acc += X[:, d : d + 1] * all_planes[:, d]
+        bits = acc >= 0
+        out = np.empty((n, len(bands)), dtype=np.int64)
+        for b in range(len(bands)):
+            lo, hi = offsets[b], offsets[b + 1]
+            powers = np.left_shift(np.int64(1), np.arange(hi - lo, dtype=np.int64))
+            out[:, b] = bits[:, lo:hi].astype(np.int64) @ powers
+        return pd.Series(list(out))
+
+    return _sigs
+
+
 def ann_lsh_topk(
     df: DataFrame,
     vec_col: str,
@@ -100,7 +150,8 @@ def ann_lsh_topk(
     query's (plus Hamming-1 neighbor buckets when ``multiprobe``)."""
     planes = make_planes(len(query), n_planes, seed)
     vec = F.col(vec_col).cast("array<double>")
-    with_sig = df.withColumn("_sig", hyperplane_signature(vec, planes))
+    sig_udf = hyperplane_signatures_arrow([planes])
+    with_sig = df.withColumn("_sig", F.element_at(sig_udf(vec), 1))
 
     qv = np.asarray(query, dtype=float)
     qsig = 0
@@ -172,14 +223,11 @@ def cosine_near_dup_pairs(
     transform.
     """
     vec = F.col(vec_col).cast("array<double>")
-    sigs = F.array(
-        *[
-            hyperplane_signature(vec, make_planes(dim, n_planes, seed + j))
-            for j in range(n_bands)
-        ]
+    sig_udf = hyperplane_signatures_arrow(
+        [make_planes(dim, n_planes, seed + j) for j in range(n_bands)]
     )
     banded = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(sigs).alias("_band", "_sig")
+        F.col(id_col).alias("_id"), F.posexplode(sig_udf(vec)).alias("_band", "_sig")
     )
     if max_bucket is not None:
         banded, _ = cap_bucket_size(banded, ["_band", "_sig"], max_bucket)
@@ -331,14 +379,11 @@ def pairwise_topk_per_row(
     shuffling ids and shuffling the corpus per band.
     """
     vec = F.col(vec_col).cast("array<double>")
-    sigs = F.array(
-        *[
-            hyperplane_signature(vec, make_planes(dim, n_planes, seed + j))
-            for j in range(n_bands)
-        ]
+    sig_udf = hyperplane_signatures_arrow(
+        [make_planes(dim, n_planes, seed + j) for j in range(n_bands)]
     )
     banded = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(sigs).alias("_band", "_sig")
+        F.col(id_col).alias("_id"), F.posexplode(sig_udf(vec)).alias("_band", "_sig")
     )
     if max_bucket is not None:
         banded, _ = cap_bucket_size(banded, ["_band", "_sig"], max_bucket)
