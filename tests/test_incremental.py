@@ -606,3 +606,121 @@ def test_ingest_chain_full_replay_is_idempotent(spark, tmp_path):
     cp = store.checkpoint.read()
     lin = cp[(cp["tier"] == "minute") & (cp["partition_key"] == "2026-03-16")]
     assert int(lin["times_updated"].iloc[0]) >= 2  # the replay pass is on record
+
+
+def test_legacy_epoch_marker_migrates_without_double_fold(spark, tmp_path, low_rank_series):
+    """ADVICE r4: a state dir whose _applied_epoch marker was written by a
+    pre-file-set build (epoch counter only, no 'files' key) must fall back
+    to the legacy epoch guard instead of treating every file as new — and
+    the guard must PERSIST across the marker-format migration, because
+    files folded by the old build never get file identity."""
+    import json
+    import os
+    import time as _time
+
+    from tslib_spark.streaming.model_stream import stream_update_svd
+
+    N, M_total, mat = low_rank_series
+    M0 = 34
+    cfg = ModelConfig(target_key="t1", N=N, M=M0, k=3)
+    base = mat[:, :M0].flatten("F")
+    blocks = [mat[:, M0 + i : M0 + i + 2].flatten("F") for i in range(0, 4, 2)]
+
+    state_dir = str(tmp_path / "model_state")
+    fit_state(spark.createDataFrame(tidy(base)), cfg).write.parquet(state_dir)
+    src = str(tmp_path / "blocks")
+    schema = "group_id string, bucket_idx long, value double"
+    start = N * M0
+
+    def add_block(i):
+        pdf = tidy(blocks[i], start_idx=start + i * len(blocks[i]))[
+            ["group_id", "bucket_idx", "value"]
+        ]
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    add_block(0)
+    q = stream_update_svd(spark, src, schema, state_dir, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert spark.read.parquet(state_dir).toPandas().iloc[0]["times_updated"] == 1
+
+    # simulate the old build's marker: epoch counter only
+    marker_path = os.path.join(state_dir, "_applied_epoch")
+    with open(marker_path, "w") as f:
+        json.dump({"epoch_id": 0}, f)
+
+    # replay over the UNCHANGED source: legacy guard must skip (no double fold)
+    q2 = stream_update_svd(spark, src, schema, state_dir, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    s1 = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert s1["times_updated"] == 1, "legacy marker replay double-folded"
+
+    # source grows; restart folds exactly the new file (epoch 1 > legacy 0)
+    add_block(1)
+    q3 = stream_update_svd(spark, src, schema, state_dir, max_files_per_trigger=1)
+    q3.awaitTermination(120)
+    s2 = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert s2["times_updated"] == 2
+
+    # the migrated marker carries the file set AND the legacy epoch
+    with open(marker_path) as f:
+        marker = json.load(f)
+    assert marker["legacy_epoch"] == 0 and len(marker["files"]) >= 1
+
+    # full replay after migration: epoch 0 legacy-skipped, epoch 1 file-set-skipped
+    q4 = stream_update_svd(spark, src, schema, state_dir, max_files_per_trigger=1)
+    q4.awaitTermination(120)
+    s3 = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert s3["times_updated"] == 2
+    np.testing.assert_allclose(s3["sk"], s2["sk"], atol=0)
+
+    # oracle: blocks folded sequentially exactly once each
+    s = fit_state(spark.createDataFrame(tidy(base)), cfg)
+    for i, blk in enumerate(blocks):
+        nd = spark.createDataFrame(
+            tidy(blk, start_idx=start + i * len(blk))[["group_id", "bucket_idx", "value"]]
+        )
+        s = update_state(s, nd)
+    want = s.toPandas().iloc[0]
+    np.testing.assert_allclose(s2["sk"], want["sk"], atol=1e-9)
+
+
+def test_checkpointed_marker_compacts_file_set(spark, tmp_path, low_rank_series, monkeypatch):
+    """ADVICE r4: the applied-file set must not grow without bound. With a
+    checkpoint_dir (replays limited to the last uncommitted batch) the
+    marker keeps a rolling tail; files_seen records the true total."""
+    import json
+    import os
+    import time as _time
+
+    from tslib_spark.streaming import model_stream
+
+    monkeypatch.setattr(model_stream, "_MAX_MARKER_FILES", 2)
+
+    N, M_total, mat = low_rank_series
+    M0 = 32
+    cfg = ModelConfig(target_key="t1", N=N, M=M0, k=3)
+    base = mat[:, :M0].flatten("F")
+    blocks = [mat[:, M0 + i : M0 + i + 2].flatten("F") for i in range(0, 8, 2)]
+
+    state_dir = str(tmp_path / "model_state")
+    fit_state(spark.createDataFrame(tidy(base)), cfg).write.parquet(state_dir)
+    src = str(tmp_path / "blocks")
+    schema = "group_id string, bucket_idx long, value double"
+    start = N * M0
+    for i, blk in enumerate(blocks):
+        pdf = tidy(blk, start_idx=start + i * len(blk))[["group_id", "bucket_idx", "value"]]
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    q = model_stream.stream_update_svd(
+        spark, src, schema, state_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert got["times_updated"] == 4
+    with open(os.path.join(state_dir, "_applied_epoch")) as f:
+        marker = json.load(f)
+    assert len(marker["files"]) <= 2, "marker file set not compacted"
+    assert marker["files_seen"] == 4

@@ -248,3 +248,61 @@ def test_catalog_backend_seam(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="not configured"):
         IcebergBackend(spark, "nosuch_catalog")
+
+
+def test_iceberg_backend_dry_run_contract(spark, monkeypatch):
+    """VERDICT r4 #8: with the runtime jar unavailable, keep the Iceberg
+    seam honest by asserting exactly what a real catalog would receive —
+    the table identifiers, the writeTo create/overwritePartitions calls,
+    and the parameterized DELETE (no string interpolation of part_key)."""
+    from tslib_spark.sources.catalog import IcebergBackend
+
+    # fake catalog conf so the constructor's honesty gate passes
+    spark.conf.set("spark.sql.catalog.demo", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        be = IcebergBackend(spark, "demo", namespace="tslib")
+        assert be.table_path("minute") == "demo.tslib.tier_minute"
+
+        calls = []
+
+        class _FakeWriter:
+            def __init__(self, name):
+                self.name = name
+                self.parts = None
+
+            def partitionedBy(self, *cols):
+                self.parts = cols
+                return self
+
+            def create(self):
+                calls.append(("create", self.name, self.parts))
+
+            def overwritePartitions(self):
+                calls.append(("overwritePartitions", self.name, None))
+
+        df = spark.range(1)
+        # patch the concrete class (classic DataFrame subclass overrides writeTo)
+        monkeypatch.setattr(type(df), "writeTo", lambda self, name: _FakeWriter(name))
+        monkeypatch.setattr(spark.catalog, "tableExists", lambda name: False)
+        be.write_partitions(spark, "minute", df)
+        monkeypatch.setattr(spark.catalog, "tableExists", lambda name: True)
+        be.write_partitions(spark, "minute", df)
+        assert calls == [
+            ("create", "demo.tslib.tier_minute", ("part_key",)),
+            ("overwritePartitions", "demo.tslib.tier_minute", None),
+        ]
+
+        sqls = []
+        monkeypatch.setattr(
+            spark, "sql", lambda q, args=None: sqls.append((q, args))
+        )
+        be.drop_partition(spark, "minute", "2025-01-03")
+        # part_key travels as a bind parameter, never interpolated — a
+        # quote in the key cannot break or inject into the statement
+        be.drop_partition(spark, "minute", "x' OR '1'='1")
+        assert sqls == [
+            ("DELETE FROM demo.tslib.tier_minute WHERE part_key = :pk", {"pk": "2025-01-03"}),
+            ("DELETE FROM demo.tslib.tier_minute WHERE part_key = :pk", {"pk": "x' OR '1'='1"}),
+        ]
+    finally:
+        spark.conf.unset("spark.sql.catalog.demo")

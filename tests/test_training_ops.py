@@ -913,3 +913,27 @@ def test_mp4_metadata_parse_and_frame_plan(spark):
         every_ms=1000,
     ).toPandas()
     assert frames["frame_ms"].tolist() == [0, 1000, 2000, 3000]
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: legal JPEGs may pad with 0xFF fill bytes before any
+    marker (common in real crawled files). The header loop and the
+    entropy-data destuffer must skip fill runs instead of reading a bogus
+    segment length (ADVICE r4)."""
+    from tslib_spark.operators.jpeg import decode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    gray = (127 + 100 * np.sin(xx / 4) * np.cos(yy / 5)).clip(0, 255).astype(np.uint8)
+    enc = _JpegEnc()
+    clean = enc.encode(gray, restart=1)
+    w0, h0, luma0 = decode_jpeg(clean)
+
+    # pad every marker in the header section AND the RST/EOI markers in the
+    # scan with fill bytes
+    padded = clean
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0", b"\xff\xda",
+                   b"\xff\xdd", b"\xff\xd0", b"\xff\xd9"):
+        padded = padded.replace(marker, b"\xff\xff" + marker)
+    w, h, luma = decode_jpeg(padded)
+    assert (w, h) == (w0, h0)
+    np.testing.assert_array_equal(luma, luma0)

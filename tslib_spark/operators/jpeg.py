@@ -128,6 +128,9 @@ def _destuff(data: bytes) -> list[bytes]:
                 out.append(0xFF)
                 i += 2
                 continue
+            if m == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+                i += 1
+                continue
             if 0xD0 <= m <= 0xD7:  # RSTn
                 segs.append(bytes(out))
                 out = bytearray()
@@ -153,6 +156,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at byte {i}")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+        # real crawled files pad with them, so skip runs of 0xFF before
+        # reading the marker byte instead of parsing a bogus segment length
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break

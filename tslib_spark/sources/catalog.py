@@ -105,6 +105,10 @@ class IcebergBackend:
             df.writeTo(name).overwritePartitions()
 
     def drop_partition(self, spark: SparkSession, tier: str, part_key: str) -> None:
+        # parameter marker, not interpolation: part_key is internally a
+        # YYYY-MM-DD string today, but a future caller passing arbitrary
+        # keys must not be able to inject into the DELETE
         spark.sql(
-            f"DELETE FROM {self._table(tier)} WHERE part_key = '{part_key}'"
+            f"DELETE FROM {self._table(tier)} WHERE part_key = :pk",
+            args={"pk": part_key},
         )

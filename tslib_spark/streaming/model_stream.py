@@ -36,8 +36,13 @@ so the epoch number alone cannot distinguish "replay of committed work"
 from "restart over a grown source" — the naive ``epoch_id <= applied``
 guard would silently drop genuinely new epochs 0..N (silent model
 staleness). The marker therefore records the APPLIED-FILE SET
-(scheme-normalized input paths, ~one string per block file — bounded
-metadata): a batch folds only its not-yet-applied files, filtered
+(scheme-normalized input paths, ~one string per block file). With a
+``checkpoint_dir`` the set is compacted to a rolling tail
+(``_MAX_MARKER_FILES``) — sound because a checkpointed stream replays at
+most the last uncommitted batch. WITHOUT a checkpoint the full set is
+kept and grows with the source (the price of exact replay detection when
+a restart re-reads everything) — pass ``checkpoint_dir`` for long-lived
+streams: a batch folds only its not-yet-applied files, filtered
 row-wise by ``input_file_name()``, which is also robust to restarts
 re-batching old files together with new ones (a batch-level fingerprint
 would double-fold the old half of such a mixed batch). Non-file sources
@@ -60,6 +65,12 @@ from tslib_spark.streaming.incremental import update_state
 
 _EPOCH_MARKER = "_applied_epoch"
 _SOURCE_MARKER = "_applied_source"
+# Marker compaction bound: with a checkpoint_dir the applied-file set is
+# trimmed to this rolling tail (replay can only involve the last
+# uncommitted batch). WITHOUT a checkpoint the full set must be kept —
+# a restart re-reads every source file — so the marker grows with the
+# source; pass checkpoint_dir for long-lived streams.
+_MAX_MARKER_FILES = 1000
 
 
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+"
@@ -132,6 +143,28 @@ def stream_update_svd(
             return
         applied = _read_marker(state_dir, _EPOCH_MARKER) or {}
         prev_epoch = applied.get("epoch_id", -1)
+        # marker written by a pre-file-set build has only the epoch counter:
+        # done=[] would re-fold every already-applied file on a no-checkpoint
+        # restart (silent double-fold). Honor the legacy epoch guard those
+        # folds were committed under — and PERSIST it across the format
+        # migration (files folded by the old build have no file identity,
+        # ever, so the old guard must keep protecting those epochs).
+        if applied and "files" not in applied:
+            legacy_epoch = prev_epoch
+        else:
+            legacy_epoch = applied.get("legacy_epoch", -1)
+        if legacy_epoch >= 0 and epoch_id <= legacy_epoch:
+            import warnings
+
+            warnings.warn(
+                f"stream_update_svd: epoch {epoch_id} <= {legacy_epoch} was "
+                "applied by a pre-file-set build (legacy marker) — skipping "
+                "under the old epoch guard; epochs beyond it use the "
+                "file-set guard",
+                UserWarning,
+                stacklevel=2,
+            )
+            return
         done: list[str] = applied.get("files", [])
         # per-row input_file_name, distinct-collected (#files rows):
         # DataFrame.inputFiles() returns [] on foreachBatch frames, but the
@@ -176,12 +209,24 @@ def stream_update_svd(
         state = spark.read.parquet(state_dir)
         new_state = update_state(state, batch_df, method=method)
         keep = _read_marker(state_dir, _SOURCE_MARKER)
-        markers = {
-            _EPOCH_MARKER: {
-                "epoch_id": max(epoch_id, prev_epoch),
-                "files": done + [f for f in files if f not in set(done)],
-            }
+        all_files = done + [f for f in files if f not in set(done)]
+        files_seen = applied.get("files_seen", len(done)) + (len(all_files) - len(done))
+        if checkpoint_dir and len(all_files) > _MAX_MARKER_FILES:
+            # with a checkpoint, Spark never replays committed epochs — only
+            # the last uncommitted batch can come back — so a rolling tail
+            # of the applied set is a sound replay guard and the marker
+            # stays bounded on long-lived streams. Without a checkpoint a
+            # restart re-reads EVERY source file, so the full set is the
+            # only exact guard: it grows with the source, documented above.
+            all_files = all_files[-_MAX_MARKER_FILES:]
+        marker_payload = {
+            "epoch_id": max(epoch_id, prev_epoch),
+            "files": all_files,
+            "files_seen": files_seen,
         }
+        if legacy_epoch >= 0:
+            marker_payload["legacy_epoch"] = legacy_epoch
+        markers = {_EPOCH_MARKER: marker_payload}
         if keep is not None:
             markers[_SOURCE_MARKER] = keep
         _swap_state(new_state, state_dir, markers)
