@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tslib_spark.functions import text as T
-from tslib_spark.functions.psl_snapshot import TWO_LABEL_SUFFIXES as _PSL_SUFFIXES
 from tslib_spark.functions.scalar import normalize_expr, rmse_agg, rmse_hidden
 from tslib_spark.kernels.rsc import control_weights, prepare_panel, rsc_fit
 from tslib_spark.kernels.svd_kernel import ModelConfig, fit_transform, forecast
@@ -467,6 +466,54 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "n_tokens", "doc_id", 4096, num_partitions=8)
 
 
+_URL_SUFFIX_ROTATION = (
+    ".Example.COM", ".Sample.CO.UK", ".Demo.COM.AU", ".Blog.GitHub.IO",
+    ".North.W.CK", ".WWW.CK", ".Pref.AICHI.JP", ".Dist.K12.CA.US",
+)
+
+
+def _psl_oracle_sql_parts() -> tuple[str, str]:
+    """DuckDB SQL for the full PSL algorithm, GENERATED from the same
+    parsed rule sets the Spark expression consumes (same data,
+    independently expressed: DuckDB regexps + CASE + IN vs Catalyst
+    codegen). Returns (lastN column defs, suffix-length CASE, lastN array body)."""
+    from tslib_spark.functions.psl_snapshot import bundled_rules
+
+    r = bundled_rules()
+    maxk = r.max_suffix_labels + 1
+    defs = ",\n                     ".join(
+        f"regexp_extract(host, '((?:[^.]+\\.){{{k - 1}}}[^.]+)$', 1) AS last{k}"
+        for k in range(1, maxk + 1)
+    )
+
+    def inlist(vals):
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    conds: list[tuple[str, int]] = []
+    for k in sorted(r.exception, reverse=True):  # exceptions beat everything
+        conds.append((f"last{k} IN ({inlist(r.exception[k])})", k - 1))
+    for L in sorted(set(r.exact) | {k + 1 for k in r.wildcard}, reverse=True):
+        if L == 1:
+            continue
+        parts = []
+        if L in r.exact:
+            parts.append(f"last{L} IN ({inlist(r.exact[L])})")
+        if (L - 1) in r.wildcard:
+            parts.append(
+                f"(last{L} <> '' AND last{L - 1} IN ({inlist(r.wildcard[L - 1])}))"
+            )
+        conds.append((" OR ".join(parts), L))
+    slen = (
+        "CASE " + " ".join(f"WHEN {c} THEN {v}" for c, v in conds) + " ELSE 1 END"
+    )
+    arr = ", ".join(f"last{k}" for k in range(1, maxk + 1))
+    return defs, slen, arr
+
+
+_PSL_LASTN_SQL, _PSL_SLEN_SQL, _PSL_ARR_SQL = _psl_oracle_sql_parts()
+_SUFFIX_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in _URL_SUFFIX_ROTATION) + "]"
+
+
 def _q_url_parse(spark, sf_dir):
     """URL surgery as pure codegen (functions/web.py): synthesize a
     deterministic URL per doc (testdata carries no url column), then
@@ -479,11 +526,14 @@ def _q_url_parse(spark, sf_dir):
     )
 
     docs = _read(spark, sf_dir, "documents")
-    # rotate through a plain gTLD, a co.uk-style PSL suffix, and com.au so
-    # domain vs domain_psl disagree exactly where the PSL matters
+    # rotate through every PSL rule family so domain vs domain_psl
+    # disagree exactly where the full algorithm matters: plain gTLD
+    # (default rule), co.uk/com.au two-label registries, a PRIVATE-section
+    # host (github.io), a *.ck wildcard, the !www.ck exception, a
+    # three-label exact rule (pref.aichi.jp), and the US k12 family
     suffix = F.element_at(
-        F.array(F.lit(".Example.COM"), F.lit(".Sample.CO.UK"), F.lit(".Demo.COM.AU")),
-        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        F.array(*[F.lit(s) for s in _URL_SUFFIX_ROTATION]),
+        (F.pmod(F.col("doc_id"), F.lit(len(_URL_SUFFIX_ROTATION))) + 1).cast("int"),
     )
     url = F.concat(
         F.lit("https://WWW.Site"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
@@ -1438,9 +1488,7 @@ def oracle_sql() -> dict[str, str]:
             WITH u AS (
               SELECT doc_id,
                      concat('https://WWW.Site', CAST(doc_id % 7 AS VARCHAR),
-                            CASE doc_id % 3 WHEN 0 THEN '.Example.COM'
-                                            WHEN 1 THEN '.Sample.CO.UK'
-                                            ELSE '.Demo.COM.AU' END,
+                            ({_SUFFIX_LIST_SQL})[doc_id % {len(_URL_SUFFIX_ROTATION)} + 1],
                             '/p/', CAST(doc_id AS VARCHAR),
                             '/view?lang=', lang, '&ref=feed#frag') AS url
               FROM documents),
@@ -1453,19 +1501,20 @@ def oracle_sql() -> dict[str, str]:
               FROM u),
             d AS (
               SELECT *,
-                     regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS last2,
-                     regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS last3
-              FROM h)
+                     {_PSL_LASTN_SQL}
+              FROM h),
+            s AS (
+              SELECT *, ({_PSL_SLEN_SQL}) AS slen,
+                     list_value({_PSL_ARR_SQL}) AS lasts
+              FROM d)
             SELECT doc_id, url, host,
                    CASE WHEN last2 = '' THEN host ELSE last2 END AS domain,
-                   CASE WHEN last2 = '' THEN host
-                        WHEN last2 IN ({", ".join(f"'{s}'" for s in _PSL_SUFFIXES)})
-                             AND last3 <> '' THEN last3
-                        ELSE last2 END AS domain_psl,
+                   CASE WHEN lasts[slen + 1] IS NULL OR lasts[slen + 1] = ''
+                        THEN host ELSE lasts[slen + 1] END AS domain_psl,
                    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
                    regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
                    concat(host, CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) AS norm
-            FROM d
+            FROM s
         """,
         "repetition_signals": """
             WITH toks AS (

@@ -85,3 +85,90 @@ def test_domain_psl_and_single_label_fallback(spark):
     }
     for url, want_d, want_p in cases:
         assert got[url] == (want_d, want_p), (url, got[url])
+
+
+def test_psl_full_algorithm_matches_python_reference(spark):
+    """The codegen PSL expression vs the pure-Python spec reference, over
+    every rule family: plain gTLD (default rule), two-label registry,
+    three-label exact (pref.aichi.jp), TLD wildcard (*.ck), wildcard
+    exception (!www.ck), city wildcard + exception, US k12, and
+    PRIVATE-section (github.io) — plus bare-suffix fallbacks."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from tslib_spark.functions.psl_snapshot import bundled_rules, registrable_domain_py
+    from tslib_spark.functions.web import psl_registrable_domain
+
+    hosts = [
+        "a.b.site.com", "site.com", "com",
+        "deep.sub.sample.co.uk", "sample.co.uk", "co.uk",
+        "www.pref.aichi.jp", "pref.aichi.jp", "x.y.pref.aichi.jp",
+        "thing.aichi.jp",                     # no rule beyond jp default? exact 2-label? none → aichi.jp
+        "shop.north.w.ck", "north.w.ck", "w.ck",   # *.ck wildcard
+        "www.ck", "sub.www.ck",               # !www.ck exception
+        "a.ward.kawasaki.jp", "city.kawasaki.jp", "x.city.kawasaki.jp",
+        "school.dist.k12.ca.us", "dist.k12.ca.us", "k12.ca.us",
+        "user.github.io", "deep.user.github.io", "github.io",
+        "b.blogspot.com", "blogspot.com",
+        "bucket.s3.amazonaws.com", "s3.amazonaws.com",
+        "myschool.leeds.sch.uk", "leeds.sch.uk",   # *.sch.uk
+        "localhost",
+    ]
+    rules = bundled_rules()
+    df = spark.createDataFrame(pd.DataFrame({"host": hosts}))
+    got = (
+        df.select("host", psl_registrable_domain(F.col("host")).alias("dom"))
+        .toPandas()
+        .set_index("host")["dom"]
+    )
+    for h in hosts:
+        want = registrable_domain_py(h, rules) or h  # expression falls back to host
+        assert got[h] == want, f"{h}: spark={got[h]!r} python={want!r}"
+
+    # spot-check the critical semantics directly (guards both implementations)
+    assert got["deep.sub.sample.co.uk"] == "sample.co.uk"
+    assert got["www.pref.aichi.jp"] == "www.pref.aichi.jp"  # 3-label suffix
+    assert got["shop.north.w.ck"] == "north.w.ck"           # *.ck
+    assert got["sub.www.ck"] == "www.ck"                    # !www.ck
+    assert got["x.city.kawasaki.jp"] == "city.kawasaki.jp"  # !city.kawasaki.jp
+    assert got["deep.user.github.io"] == "user.github.io"   # PRIVATE section
+    assert got["school.dist.k12.ca.us"] == "dist.k12.ca.us"
+    assert got["myschool.leeds.sch.uk"] == "myschool.leeds.sch.uk"  # *.sch.uk
+    assert got["github.io"] == "github.io"                  # bare suffix fallback
+    assert got["localhost"] == "localhost"
+
+    # ICANN-only view: github.io is an ordinary domain
+    icann = (
+        df.select(
+            "host",
+            psl_registrable_domain(F.col("host"), bundled_rules(False)).alias("dom"),
+        )
+        .toPandas()
+        .set_index("host")["dom"]
+    )
+    assert icann["deep.user.github.io"] == "github.io"
+
+
+def test_psl_parser_sections_and_syntax():
+    from tslib_spark.functions.psl_snapshot import parse_psl
+
+    dat = """// comment
+// ===BEGIN ICANN DOMAINS===
+com
+co.uk
+*.ck
+!www.ck
+pref.aichi.jp
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+// ===END PRIVATE DOMAINS===
+"""
+    r = parse_psl(dat)
+    assert "co.uk" in r.exact[2] and "github.io" in r.exact[2]
+    assert "pref.aichi.jp" in r.exact[3]
+    assert "ck" in r.wildcard[1] and "www.ck" in r.exception[2]
+    assert r.max_suffix_labels == 3
+    r2 = parse_psl(dat, include_private=False)
+    assert "github.io" not in r2.exact.get(2, frozenset())

@@ -1,25 +1,33 @@
-"""Bundled Public-Suffix-List snapshot (two-label ICANN suffixes).
+"""Bundled Public-Suffix-List snapshot + a complete PSL rule engine.
 
-A subset of the Mozilla Public Suffix List (publicsuffix.org, MPL-2.0,
-public data) covering the common two-label ICANN registry suffixes —
-the cases the "last two labels" heuristic gets wrong (``co.uk``-style
-registries where the registrable domain is three labels). A crawl
-pipeline keyed on registrable domains hits these daily.
+The Mozilla Public Suffix List (publicsuffix.org, MPL-2.0, public data)
+drives registrable-domain extraction. This module implements the FULL
+matching algorithm from the spec — exact rules of any label count,
+``*.`` wildcard rules, ``!`` exception rules (which beat everything),
+longest-match precedence, the implicit ``*`` default rule, and the
+ICANN/PRIVATE section split — over a bundled snapshot in the exact
+``public_suffix_list.dat`` file format, so a complete fresh download can
+be dropped into ``PSL_DAT`` verbatim when currency matters.
 
-Deliberate scope limits, documented rather than hidden:
-- two-label rules only (no ``*.ck`` wildcards, no ``pref.aichi.jp``-style
-  three-label rules, no PRIVATE-section entries like ``github.io``);
-  hosts not matching any rule here fall back to the last-two-labels
-  heuristic, which is correct for every plain gTLD/ccTLD;
-- the list is a static snapshot: swap this module's tuple for a fresh
-  ``public_suffix_list.dat`` parse when currency matters.
+Snapshot scope (curated, documented): every two-label ICANN registry
+suffix from the original bundle, the stable TLD-level wildcards
+(``*.bd``, ``*.ck`` + ``!www.ck``, …), ``*.sch.uk``, the Japanese
+prefecture/city structure exemplars (``pref.aichi.jp``-style three-label
+rules, ``*.kawasaki.jp`` city wildcards with their ``!city.*``
+exceptions), the US ``k12/cc/lib.<state>.us`` family, and the
+highest-traffic PRIVATE-section hosts (``github.io``, ``blogspot.com``,
+…). Hosts matching no rule fall back to the implicit default rule
+(public suffix = the TLD), exactly as the spec prescribes.
 
-The set is consumed as ONE codegen ``IN`` predicate (a literal hash set
-in the JVM), so PSL matching stays a pure scalar expression — no Python
-per row, no join, no shuffle (functions/web.py:url_domain_psl).
+Consumption stays pure codegen (functions/web.py): the parsed rules
+become chained CASE + literal IN predicates over per-length label
+extractions — no Python per row, no join, no shuffle.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
 
 TWO_LABEL_SUFFIXES: tuple[str, ...] = (
     # United Kingdom
@@ -94,3 +102,185 @@ TWO_LABEL_SUFFIXES: tuple[str, ...] = (
     "ac.ug", "co.ug", "com.ug", "go.ug", "ne.ug", "or.ug", "org.ug",
     "sc.ug",
 )
+
+# Rules beyond the two-label set, in public_suffix_list.dat syntax.
+_EXTRA_ICANN_RULES = """
+// TLD-level wildcards: every second-level name under these registries is
+// itself a public suffix (third parties register at the third level)
+*.bd
+*.ck
+!www.ck
+*.er
+*.fk
+*.kh
+*.mm
+*.np
+*.pg
+// UK schools register under <school>.<authority>.sch.uk
+*.sch.uk
+// Japan geographic-type structure exemplars: prefecture-government
+// three-label rules and the designated-city wildcards with their
+// city-hall exceptions
+pref.aichi.jp
+pref.hokkaido.jp
+pref.kyoto.jp
+pref.okinawa.jp
+pref.osaka.jp
+*.kawasaki.jp
+*.kitakyushu.jp
+*.kobe.jp
+*.nagoya.jp
+*.sapporo.jp
+*.sendai.jp
+*.yokohama.jp
+!city.kawasaki.jp
+!city.kitakyushu.jp
+!city.kobe.jp
+!city.nagoya.jp
+!city.sapporo.jp
+!city.sendai.jp
+!city.yokohama.jp
+// US locality structure: state codes plus the k12/cc/lib families
+ca.us
+ny.us
+tx.us
+wa.us
+fl.us
+k12.ca.us
+k12.ny.us
+k12.tx.us
+k12.wa.us
+k12.fl.us
+cc.ca.us
+cc.ny.us
+lib.ca.us
+lib.ny.us
+"""
+
+_PRIVATE_RULES = """
+// Hosting platforms where mutually-untrusted parties register subdomains
+github.io
+githubusercontent.com
+gitlab.io
+blogspot.com
+appspot.com
+herokuapp.com
+netlify.app
+vercel.app
+web.app
+firebaseapp.com
+azurewebsites.net
+cloudfront.net
+pages.dev
+workers.dev
+wixsite.com
+s3.amazonaws.com
+"""
+
+PSL_DAT: str = (
+    "// curated snapshot of the Public Suffix List (publicsuffix.org, MPL-2.0)\n"
+    "// ===BEGIN ICANN DOMAINS===\n"
+    + "\n".join(TWO_LABEL_SUFFIXES)
+    + _EXTRA_ICANN_RULES
+    + "// ===END ICANN DOMAINS===\n"
+    "// ===BEGIN PRIVATE DOMAINS===\n"
+    + _PRIVATE_RULES
+    + "// ===END PRIVATE DOMAINS===\n"
+)
+
+
+@dataclass(frozen=True)
+class PslRules:
+    """Parsed rule sets keyed by label count, ready for codegen.
+
+    ``exact[k]``: k-label exact rules. ``wildcard[k]``: BASES of
+    ``*.base`` rules where base has k labels (the matched suffix has
+    k+1). ``exception[k]``: k-label exception rules — a match makes the
+    public suffix the rule minus its leading label (k-1 labels)."""
+
+    exact: dict[int, frozenset[str]] = field(default_factory=dict)
+    wildcard: dict[int, frozenset[str]] = field(default_factory=dict)
+    exception: dict[int, frozenset[str]] = field(default_factory=dict)
+
+    @property
+    def max_suffix_labels(self) -> int:
+        lens = (
+            list(self.exact)
+            + [k + 1 for k in self.wildcard]
+            + [k - 1 for k in self.exception]
+        )
+        return max(lens, default=1)
+
+
+def parse_psl(dat: str, include_private: bool = True) -> PslRules:
+    """Parse ``public_suffix_list.dat`` text per the spec: one rule per
+    line, ``//`` comments, ``*.`` wildcards, ``!`` exceptions; the
+    PRIVATE section is included unless ``include_private=False``."""
+    exact: dict[int, set[str]] = {}
+    wildcard: dict[int, set[str]] = {}
+    exception: dict[int, set[str]] = {}
+    in_private = False
+    for raw in dat.splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            if "BEGIN PRIVATE DOMAINS" in line:
+                in_private = True
+            elif "END PRIVATE DOMAINS" in line:
+                in_private = False
+            continue
+        if in_private and not include_private:
+            continue
+        rule = line.split()[0].lower()  # spec: rule ends at whitespace
+        if rule.startswith("!"):
+            body = rule[1:]
+            exception.setdefault(body.count(".") + 1, set()).add(body)
+        elif rule.startswith("*."):
+            base = rule[2:]
+            wildcard.setdefault(base.count(".") + 1, set()).add(base)
+        else:
+            exact.setdefault(rule.count(".") + 1, set()).add(rule)
+    return PslRules(
+        exact={k: frozenset(v) for k, v in exact.items()},
+        wildcard={k: frozenset(v) for k, v in wildcard.items()},
+        exception={k: frozenset(v) for k, v in exception.items()},
+    )
+
+
+@lru_cache(maxsize=4)
+def bundled_rules(include_private: bool = True) -> PslRules:
+    return parse_psl(PSL_DAT, include_private=include_private)
+
+
+def registrable_domain_py(host: str, rules: PslRules | None = None) -> str | None:
+    """Pure-Python reference of the PSL algorithm (the test oracle for the
+    codegen expression): exception rules win outright, else the longest
+    matching rule; default rule ``*``. Returns the public suffix + one
+    label, or None when the host IS a public suffix (no registrable
+    domain) or has too few labels."""
+    if rules is None:
+        rules = bundled_rules()
+    labels = host.lower().split(".")
+    n = len(labels)
+
+    def last(k: int) -> str:
+        return ".".join(labels[n - k :])
+
+    suffix_len = None
+    for k in sorted(rules.exception, reverse=True):
+        if n >= k and last(k) in rules.exception[k]:
+            suffix_len = k - 1
+            break
+    if suffix_len is None:
+        best = 1  # implicit default rule "*"
+        for k in rules.exact:
+            if n >= k and last(k) in rules.exact[k] and k > best:
+                best = k
+        for k in rules.wildcard:
+            if n >= k + 1 and last(k) in rules.wildcard[k] and k + 1 > best:
+                best = k + 1
+        suffix_len = best
+    if n <= suffix_len:
+        return None
+    return last(suffix_len + 1)

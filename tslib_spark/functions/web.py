@@ -13,9 +13,11 @@ Normalization contract (deliberately minimal and deterministic):
   single-label hosts like ``localhost`` fall back to the host itself,
   never the empty string — empty-string domains would silently group
   together in per-domain rollups);
-  ``url_domain_psl`` — same, but consults the bundled Public-Suffix-List
-  snapshot (psl_snapshot.py) so ``a.site.co.uk`` → ``site.co.uk``; the
-  PSL set is one codegen IN predicate, still a pure expression;
+  ``url_domain_psl`` — the COMPLETE Public-Suffix-List algorithm
+  (psl_snapshot.py: exact/wildcard/exception rules of any label count,
+  ICANN + PRIVATE sections) so ``a.site.co.uk`` → ``site.co.uk`` and
+  ``x.user.github.io`` → ``user.github.io``; the rules compile to chained
+  CASE + literal IN predicates — still a pure codegen expression;
 - path: ``parse_url`` PATH part, "/" when absent/empty.
 """
 
@@ -24,11 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from tslib_spark.functions.psl_snapshot import TWO_LABEL_SUFFIXES
+from tslib_spark.functions.psl_snapshot import PslRules, bundled_rules
 
 __all__ = [
-    "url_host", "url_domain", "url_domain_psl", "url_path",
-    "url_query_param", "normalize_url",
+    "url_host", "url_domain", "url_domain_psl", "psl_registrable_domain",
+    "url_path", "url_query_param", "normalize_url",
 ]
 
 
@@ -54,21 +56,56 @@ def url_domain(url: Column) -> Column:
     return F.when(two == "", host).otherwise(two)
 
 
-def url_domain_psl(url: Column) -> Column:
-    """Registrable domain against the bundled PSL snapshot: when the last
-    two labels form a known registry suffix (``co.uk``), the registrable
-    domain is the last THREE labels; otherwise the two-label heuristic.
-    A host that IS a bare suffix (``co.uk`` itself) has no registrable
-    domain under the PSL; it falls back to the host, mirroring
-    url_domain's single-label fallback."""
-    host = url_host(url)
-    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    return (
-        F.when(two == "", host)
-        .when(two.isin(list(TWO_LABEL_SUFFIXES)) & (three != ""), three)
-        .otherwise(two)
-    )
+def psl_registrable_domain(host: Column, rules: PslRules | None = None) -> Column:
+    """The COMPLETE Public-Suffix-List algorithm as one codegen expression:
+    exception rules win outright (``!www.ck`` → suffix is the rule minus
+    its leading label), otherwise the longest matching rule — exact rules
+    of any label count and ``*.base`` wildcards (the ``*`` must consume a
+    real label) — with the implicit ``*`` default rule when nothing
+    matches. Registrable domain = public suffix + one label.
+
+    Codegen shape: per-length suffix extraction (one ``regexp_extract``
+    per label count up to the rule-set maximum), a chained CASE over
+    literal IN hash sets resolving the suffix LENGTH, then one
+    ``element_at`` over the extraction array — no Python per row, no
+    join, no shuffle. A host that IS a bare public suffix falls back to
+    itself (never an empty-string sink)."""
+    if rules is None:
+        rules = bundled_rules()
+    maxk = rules.max_suffix_labels + 1
+    lastk = {
+        k: F.regexp_extract(host, r"((?:[^.]+\.){%d}[^.]+)$" % (k - 1), 1)
+        for k in range(1, maxk + 1)
+    }
+    w = None
+
+    def add(cond, length: int) -> None:
+        nonlocal w
+        w = F.when(cond, F.lit(length)) if w is None else w.when(cond, F.lit(length))
+
+    for k in sorted(rules.exception, reverse=True):  # exceptions beat everything
+        add(lastk[k].isin(*sorted(rules.exception[k])), k - 1)
+    for L in sorted(set(rules.exact) | {k + 1 for k in rules.wildcard}, reverse=True):
+        cond = None
+        if L in rules.exact:
+            cond = lastk[L].isin(*sorted(rules.exact[L]))
+        if (L - 1) in rules.wildcard:
+            wc = (lastk[L] != "") & lastk[L - 1].isin(*sorted(rules.wildcard[L - 1]))
+            cond = wc if cond is None else (cond | wc)
+        if L > 1:  # the default rule already yields 1
+            add(cond, L)
+    slen = F.lit(1) if w is None else w.otherwise(F.lit(1))
+    dom = F.element_at(F.array(*[lastk[k] for k in range(1, maxk + 1)]), slen + F.lit(1))
+    return F.when(dom.isNull() | (dom == ""), host).otherwise(dom)
+
+
+def url_domain_psl(url: Column, include_private: bool = True) -> Column:
+    """Registrable domain of a URL against the bundled PSL snapshot (full
+    algorithm — wildcards, exceptions, multi-label and PRIVATE-section
+    rules; see psl_registrable_domain). ``include_private=False`` uses
+    only ICANN-section rules (``x.github.io`` then groups under
+    ``github.io``'s registrant instead of being its own site)."""
+    return psl_registrable_domain(url_host(url), bundled_rules(include_private))
 
 
 def url_path(url: Column) -> Column:
