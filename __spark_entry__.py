@@ -845,13 +845,15 @@ def _q_cosine_near_dup(spark, sf_dir):
 
 
 def _q_media_decode(spark, sf_dir):
-    """Multimodal decode as a hash-checked contract query: 24 deterministic
-    payloads (P6 PPM images / PCM WAVs, datagen/media.py) flow through
-    make_media_table → byte-budget repartition → the REAL decode_media
-    path (mapInPandas, no fake), features exploded to scalar rows. The
-    frozen oracle (fixtures/media_decode.parquet) computes the expected
+    """Multimodal decode as a hash-checked contract query: 30 deterministic
+    payloads (P6 PPM images / PCM WAVs / GIF87a-89a images incl.
+    interlaced, local-color-table, and offset-frame variants;
+    datagen/media.py) flow through make_media_table → byte-budget
+    repartition → the REAL decode_media path (mapInPandas, no fake),
+    features exploded to scalar rows. The frozen oracle
+    (fixtures/media_decode_sf001.parquet) computes the expected
     pooled-luma / amplitude-envelope features with ITS OWN math over the
-    same known pixels/samples — the decoders are never consulted
+    same known pixels/samples/palettes — the decoders are never consulted
     (scripts/freeze_oracles.py:freeze_media_decode)."""
     from tslib_spark.datagen.media import synth_media_payloads
     from tslib_spark.operators.multimodal import (
@@ -859,7 +861,7 @@ def _q_media_decode(spark, sf_dir):
     )
 
     pdf = __import__("pandas").DataFrame(
-        synth_media_payloads(24), columns=["media_id", "payload"]
+        synth_media_payloads(30), columns=["media_id", "payload"]
     )
     media = make_media_table(
         spark.createDataFrame(pdf), "media_id", "payload", "mixed"

@@ -937,3 +937,74 @@ def test_jpeg_fill_bytes_before_markers():
     w, h, luma = decode_jpeg(padded)
     assert (w, h) == (w0, h0)
     np.testing.assert_array_equal(luma, luma0)
+
+
+def test_gif_decode_variants_match_independent_composite():
+    """GIF (LZW) decode vs an independent composite of the known
+    palette/index arrays: plain, interlaced (+GCE extension skip), and
+    offset-frame/local-color-table variants, all bit-exact."""
+    from tslib_spark.datagen.media import gif_payload, media_gif_frame
+    from tslib_spark.operators.multimodal import _pool_gray, decode_gif
+
+    for mid in range(24, 33):  # covers all three variants ×3
+        pal, idx, (left, top), (sw, sh), _inter, bg = media_gif_frame(mid)
+        w, h, feats = decode_gif(gif_payload(mid))
+        assert (w, h) == (sw, sh)
+        canvas = np.zeros((sh, sw, 3), np.uint8)
+        if mid % 3 != 2 and bg < len(pal):
+            canvas[:] = pal[bg]
+        fh, fw = idx.shape
+        canvas[top : top + fh, left : left + fw] = pal[idx]
+        gray = (canvas.astype(np.float64) / 255.0) @ np.array([0.299, 0.587, 0.114])
+        np.testing.assert_array_equal(feats, _pool_gray(gray))
+
+
+def test_gif_lzw_width_growth_and_rejects():
+    """A frame large enough to push LZW through several code widths
+    round-trips exactly; malformed GIFs fail loudly (truncation, animated,
+    palette overflow)."""
+    import struct
+
+    from tslib_spark.datagen.media import _gif_lzw_encode
+    from tslib_spark.operators.multimodal import _pool_gray, decode_gif
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(31, 3), dtype=np.uint8)
+    idx = rng.integers(0, 31, size=(80, 90), dtype=np.uint8)
+    ct = np.zeros((32, 3), np.uint8)
+    ct[:31] = pal
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", 90, 80, 0x80 | (4 << 4) | 4, 0, 0)
+    out += ct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 90, 80, 0) + bytes([5])
+    lzw = _gif_lzw_encode(idx, 5)
+    for j in range(0, len(lzw), 255):
+        c = lzw[j : j + 255]
+        out += bytes([len(c)]) + c
+    body = bytes(out + b"\x00\x3b")
+    w, h, feats = decode_gif(body)
+    assert (w, h) == (90, 80)
+    gray = (pal[idx].astype(np.float64) / 255.0) @ np.array([0.299, 0.587, 0.114])
+    np.testing.assert_array_equal(feats, _pool_gray(gray))
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(body[: len(body) // 2])
+    # animated (second image descriptor) must refuse, not decode frame 1
+    frame = body[len(b"GIF87a") + 7 + 96 : -1]  # descriptor..sub-block terminator
+    animated = body[:-1] + frame + b"\x3b"
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_gif(animated)
+
+
+def test_media_decode_includes_gif_payloads(spark):
+    from tslib_spark.datagen.media import synth_media_payloads
+    from tslib_spark.operators.multimodal import decode_media, make_media_table
+
+    pdf = pd.DataFrame(synth_media_payloads(30), columns=["media_id", "payload"])
+    media = make_media_table(spark.createDataFrame(pdf), "media_id", "payload", "mixed")
+    got = decode_media(media, fake=False).select("media_id", "mime").toPandas()
+    mimes = got.set_index("media_id")["mime"]
+    assert (mimes.loc[24:] == "image/gif").all()
+    assert len(got) == 30

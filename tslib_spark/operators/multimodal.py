@@ -12,6 +12,10 @@ parseable without external media libraries:
   (None/Sub/Up vectorized, Average/Paeth per-row byte loops — their left
   dependency has no prefix-sum closed form), 8-bit gray/RGB/palette/
   alpha color types, same pooled-grayscale features;
+- **GIF (87a/89a)** images: pure-stdlib LZW decode (LSB-first
+  variable-width codes, deferred-clear tolerant), interlace reorder,
+  single-frame compositing onto the logical screen; animated GIFs raise
+  (frame sequences belong to the video path);
 - **WAV (RIFF/PCM)** audio: chunk walk for fmt/data (lengths validated —
   truncation is a clear ValueError, never a silently short buffer),
   8/16/32-bit PCM decode, features = FEATURE_DIM-bin mean-|amplitude|
@@ -402,6 +406,162 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return duration_ms, sums / np.maximum(cnts, 1)
 
 
+def _gif_lzw(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """GIF LZW decode (LSB-first variable-width codes, max 12 bits,
+    deferred-clear tolerant): returns ``expected`` palette indices."""
+    if not (2 <= min_code_size <= 11):
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    pos = 0
+    out: list[bytes] = []
+    total = 0
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([j]) for j in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        if pos + width > bits.size:
+            if total >= expected:
+                break  # encoder omitted the end code — tolerated
+            raise ValueError("truncated GIF LZW stream")
+        code = int(bits[pos : pos + width] @ (1 << np.arange(width, dtype=np.int64)))
+        pos += width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"bad GIF LZW code {code}")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad GIF LZW code {code}")
+            if len(table) < 4096:  # table full → deferred clear: stop growing
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out.append(entry)
+        total += len(entry)
+        prev = entry
+    pix = np.frombuffer(b"".join(out), dtype=np.uint8)
+    if pix.size < expected:
+        raise ValueError(f"GIF pixel data short: {pix.size} < {expected}")
+    return pix[:expected]
+
+
+def _gif_color_table(payload: bytes, i: int, packed: int) -> tuple[np.ndarray | None, int]:
+    if not packed & 0x80:
+        return None, i
+    n = 2 << (packed & 0x07)
+    tbl = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8)
+    if tbl.size < 3 * n:
+        raise ValueError("truncated GIF color table")
+    return tbl.reshape(-1, 3), i + 3 * n
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Non-animated GIF87a/89a → (width, height, features): pure-stdlib
+    LZW decode (LSB-first variable-width codes), interlace reorder, and
+    single-frame compositing onto the logical screen (background fill +
+    frame placement at its left/top offset). Features are the same
+    pooled-grayscale grid the PPM/PNG paths emit. Animated GIFs (a second
+    image descriptor) raise — frame-sequence semantics belong to the
+    video path, not a silent first-frame-only decode."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h = struct.unpack("<HH", payload[6:10])
+    if w == 0 or h == 0:
+        raise ValueError(f"bad GIF dimensions {w}x{h}")
+    packed, bg = payload[10], payload[11]
+    gct, i = _gif_color_table(payload, 13, packed)
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    frames = 0
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + data sub-blocks
+            i += 2
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            if i >= n:
+                raise ValueError("truncated GIF extension")
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if frames >= 1:
+                raise NotImplementedError(
+                    "animated GIF (multiple frames): frame-sequence decode "
+                    "belongs to the video path"
+                )
+            if i + 10 > n:
+                raise ValueError("truncated GIF image descriptor")
+            left, top, fw, fh = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+            fpacked = payload[i + 9]
+            lct, i = _gif_color_table(payload, i + 10, fpacked)
+            ct = lct if lct is not None else gct
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            if left + fw > w or top + fh > h or fw == 0 or fh == 0:
+                raise ValueError("GIF frame exceeds logical screen")
+            if i >= n:
+                raise ValueError("truncated GIF image data")
+            mcs = payload[i]
+            i += 1
+            data = bytearray()
+            while True:
+                if i >= n:
+                    raise ValueError("truncated GIF image data")
+                blen = payload[i]
+                i += 1
+                if blen == 0:
+                    break
+                chunk = payload[i : i + blen]
+                if len(chunk) < blen:
+                    raise ValueError("truncated GIF data sub-block")
+                data += chunk
+                i += blen
+            idx = _gif_lzw(bytes(data), mcs, fw * fh)
+            if int(idx.max(initial=0)) >= len(ct):
+                raise ValueError("GIF palette index out of range")
+            rows = idx.reshape(fh, fw)
+            if fpacked & 0x40:  # interlaced: 4-pass row order (GIF89a App. E)
+                order = np.concatenate(
+                    [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                     np.arange(2, fh, 4), np.arange(1, fh, 2)]
+                )
+                img = np.empty((fh, fw), dtype=np.uint8)
+                img[order] = rows
+            else:
+                img = rows
+            canvas[top : top + fh, left : left + fw] = ct[img]
+            frames += 1
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x} at byte {i}")
+    if frames == 0:
+        raise ValueError("GIF contains no image")
+    gray = (canvas.astype(np.float64) / 255.0) @ np.array([0.299, 0.587, 0.114])
+    return w, h, _pool_gray(gray)
+
+
 def _decode_real(payload: bytes) -> dict:
     """Dispatch on magic bytes. PPM and WAV decode for real; anything else
     needs codec libraries absent from this container → NotImplementedError
@@ -413,6 +573,10 @@ def _decode_real(payload: bytes) -> dict:
     if payload[:8] == _PNG_SIG:
         w, h, feats = decode_png(payload)
         return {"mime": "image/png", "width": w, "height": h,
+                "duration_ms": None, "features": feats}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, feats = decode_gif(payload)
+        return {"mime": "image/gif", "width": w, "height": h,
                 "duration_ms": None, "features": feats}
     if payload[:3] == b"\xff\xd8\xff":
         from tslib_spark.operators.jpeg import decode_jpeg
@@ -432,9 +596,9 @@ def _decode_real(payload: bytes) -> dict:
                 "height": meta["height"], "duration_ms": meta["duration_ms"],
                 "features": None}
     raise NotImplementedError(
-        "only PPM (P6), PNG, baseline JPEG, WAV (PCM), and MP4 metadata "
-        "parse without external media libs; this container ships none "
-        "(video FRAME decode stays gated) — pass fake=True for the "
+        "only PPM (P6), PNG, GIF, baseline JPEG, WAV (PCM), and MP4 "
+        "metadata parse without external media libs; this container ships "
+        "none (video FRAME decode stays gated) — pass fake=True for the "
         "deterministic stub"
     )
 
