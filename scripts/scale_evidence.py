@@ -1,0 +1,257 @@
+"""Scale-up evidence run (round-5 verdict #6): the headline pipelines at
+1× and 10× data, per-stage wall times, so the "plans survive 100×" claims
+carry measurements instead of plan reading.
+
+The driver ships parquet only up to sf0.1, so the 10× inputs are
+synthesized deterministically (same shapes: crawl pages via
+datagen.crawl.generate_pages; documents/embeddings via the generators
+below, matching the sf tables' schemas — word-soup text with planted
+near-dup structure, 64-dim float embeddings with planted twin clusters,
+both seeded). Near-dup density is held CONSTANT across scales so the
+LSH/dedup work grows linearly with the corpus, not quadratically by
+construction.
+
+Stages timed (warm JVM, min-of-2 per stage, window probe recorded):
+- crawl: scan→rollup(minute count) / tier chain hour+day+week /
+  window-salted Gorilla encode
+- corpus: quality filter / MinHash-LSH pairs / canonical dedup /
+  decontaminate / hash split / the full composed pipeline
+- embeddings: LSH candidates + cosine verify (pair stage) / connected
+  components / full embedding_dup_clusters composition
+
+Writes scale_evidence JSON to the path given as argv[1] (default
+/root/repo/scale_evidence_r5.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from tslib_spark.session import get_spark  # noqa: E402
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash slow "
+    "group agg filter query big key window row table stream merge data join "
+    "plan stage shuffle codec tier rollup crawl page site token text model"
+).split()
+
+
+def synth_documents(spark, n_docs: int, seed: int = 99, path: str | None = None):
+    """documents-shaped table (doc_id, text, lang, source, n_chars) with a
+    fixed 8% near-dup rate: doc i with i % 12 == 11 is a one-word
+    perturbation of doc i-1 — constant dup density at every scale."""
+    rng = np.random.default_rng(seed)
+    langs = np.array(["en", "zh", "de", "fr", "es"])
+    texts = []
+    for i in range(n_docs):
+        if i % 12 == 11 and texts:
+            words = texts[-1].split()
+            words[int(rng.integers(0, len(words)))] = "zzz"
+            texts.append(" ".join(words))
+        else:
+            n = int(rng.integers(30, 80))
+            texts.append(" ".join(np.array(VOCAB)[rng.integers(0, len(VOCAB), n)]))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": langs[rng.integers(0, len(langs), n_docs)],
+            "source": [f"src{int(x)}" for x in rng.integers(0, 20, n_docs)],
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len().astype(np.int64)
+    df = spark.createDataFrame(pdf)
+    if path:
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    return df
+
+
+def synth_embeddings(spark, n_vecs: int, dim: int = 64, seed: int = 7, path: str | None = None):
+    """embeddings-shaped table with 5% planted twins (vec i ≡ perturbed
+    vec i-1) — constant near-dup density at every scale."""
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n_vecs, dim))
+    twin = np.arange(n_vecs) % 20 == 19
+    X[twin] = X[np.flatnonzero(twin) - 1] * 1.01 + 0.02
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vecs, dtype=np.int64),
+            "embedding": [r.astype(np.float32).tolist() for r in X],
+            "label": rng.integers(0, 10, n_vecs).astype(np.int32),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    if path:
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    return df
+
+
+def timed(fn, repeats: int = 2) -> float:
+    fn()  # warm (JIT/codegen dominates cold first runs)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def crawl_stages(spark, n_events: int, n_urls: int, path: str) -> dict[str, float]:
+    from tslib_spark.codec.chunks import encode_chunks
+    from tslib_spark.datagen.crawl import generate_pages
+    from tslib_spark.operators.downsample import tier_chain
+    from tslib_spark.operators.rollup import rollup_pages
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_pages(
+            spark, n_events=n_events, n_urls=n_urls, n_minutes=60 * 24 * 21
+        ).write.mode("overwrite").parquet(path)
+    pages = spark.read.parquet(path)
+    out = {}
+    out["rollup_minute"] = timed(lambda: rollup_pages(pages).select(F.sum("cnt")).collect())
+    minute = rollup_pages(pages).persist()
+    minute.count()
+    out["tier_chain"] = timed(
+        lambda: [
+            tier_chain(minute, ["url", "lang"])[t].select(F.sum("cnt")).collect()
+            for t in ("hour", "day", "week")
+        ]
+    )
+    tidy = minute.select(
+        "url", "lang",
+        (F.unix_timestamp("bucket_ts") / 60).cast("long").alias("bucket_idx"),
+        F.col("cnt").cast("double").alias("value"),
+    )
+    out["gorilla_encode"] = timed(
+        lambda: encode_chunks(tidy, ["url", "lang"]).select(F.sum("n_points")).collect()
+    )
+    minute.unpersist()
+    return out
+
+
+def corpus_stages(spark, docs) -> dict[str, float]:
+    from tslib_spark.operators.components import dedup_keep_canonical
+    from tslib_spark.operators.decontaminate import decontaminate
+    from tslib_spark.operators.dedup import near_dup_minhash
+    from tslib_spark.operators.quality_filter import quality_filter
+    from tslib_spark.operators.sampling import hash_split
+
+    n = docs.count()
+    train_pool = docs.filter(F.col("doc_id") < int(n * 0.9))
+    evals = docs.filter(F.col("doc_id") >= int(n * 0.9))
+    out = {}
+    out["quality_filter"] = timed(
+        lambda: _force(quality_filter(train_pool, "doc_id", "text", min_tokens=20))
+    )
+    kept = train_pool.join(
+        quality_filter(train_pool, "doc_id", "text", min_tokens=20)
+        .filter(F.col("keep")).select("doc_id", "total_tokens"),
+        "doc_id",
+    ).persist()
+    kept.count()
+    pairs_fn = lambda: near_dup_minhash(  # noqa: E731
+        kept, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        max_bucket=2000,
+    )
+    out["minhash_pairs"] = timed(lambda: _force(pairs_fn()))
+    out["canonical_dedup"] = timed(
+        lambda: _force(dedup_keep_canonical(kept, "doc_id", pairs_fn().select("id_a", "id_b")))
+    )
+    deduped = dedup_keep_canonical(kept, "doc_id", pairs_fn().select("id_a", "id_b"))
+    out["decontaminate"] = timed(
+        lambda: _force(decontaminate(deduped, "doc_id", "text", evals, "text", n=8))
+    )
+    clean = decontaminate(deduped, "doc_id", "text", evals, "text", n=8)
+    out["hash_split"] = timed(
+        lambda: _force(hash_split(clean, "doc_id", {"train": 8.0, "val": 1.0, "test": 1.0}, seed=7))
+    )
+    out["full_pipeline"] = timed(
+        lambda: hash_split(
+            decontaminate(
+                dedup_keep_canonical(kept, "doc_id", pairs_fn().select("id_a", "id_b")),
+                "doc_id", "text", evals, "text", n=8,
+            ),
+            "doc_id", {"train": 8.0, "val": 1.0, "test": 1.0}, seed=7,
+        ).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("total_tokens").alias("n_tokens")
+        ).collect()
+    )
+    kept.unpersist()
+    return out
+
+
+def embedding_stages(spark, emb) -> dict[str, float]:
+    from tslib_spark.operators.components import connected_components
+    from tslib_spark.operators.similarity import cosine_near_dup_pairs
+
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pairs_fn = lambda: cosine_near_dup_pairs(  # noqa: E731
+        base, "embedding", "vec_id", dim=64, threshold=0.9, n_planes=10,
+        n_bands=4, max_bucket=2000,
+    )
+    out = {}
+    out["lsh_cosine_pairs"] = timed(lambda: _force(pairs_fn()))
+    out["connected_components"] = timed(
+        lambda: _force(connected_components(pairs_fn().select("id_a", "id_b")))
+    )
+    out["full_dup_clusters"] = timed(
+        lambda: _force(connected_components(pairs_fn().select("id_a", "id_b")))
+    )
+    return out
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_evidence_r5.json"
+    from bench import _window_note
+
+    spark = get_spark("scale-evidence", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    result: dict = {"window_note_start": _window_note()}
+
+    scales = {
+        "1x": {"events": 3_000_000, "urls": 20_000, "docs": 5_000, "vecs": 2_000},
+        "10x": {"events": 30_000_000, "urls": 200_000, "docs": 50_000, "vecs": 20_000},
+    }
+    for label, cfg in scales.items():
+        pages_path = f"/tmp/tslib_evidence_pages_{label}"
+        block: dict = {"config": cfg}
+        t0 = time.time()
+        block["crawl"] = crawl_stages(spark, cfg["events"], cfg["urls"], pages_path)
+        docs = synth_documents(spark, cfg["docs"], path=f"/tmp/tslib_evidence_docs_{label}")
+        block["corpus"] = corpus_stages(spark, docs)
+        emb = synth_embeddings(spark, cfg["vecs"], path=f"/tmp/tslib_evidence_emb_{label}")
+        block["embeddings"] = embedding_stages(spark, emb)
+        block["wall_secs"] = round(time.time() - t0, 1)
+        result[label] = block
+
+    # stage-by-stage 10x/1x wall ratios (ideal ≈ 10 for CPU-bound stages
+    # on a fixed-core box; sublinear stages show where fixed costs sit)
+    ratios: dict[str, float] = {}
+    for fam in ("crawl", "corpus", "embeddings"):
+        for stage, v1 in result["1x"][fam].items():
+            v10 = result["10x"][fam][stage]
+            ratios[f"{fam}.{stage}"] = round(v10 / v1, 2) if v1 > 0 else None
+    result["ratio_10x_over_1x"] = ratios
+    result["window_note_end"] = _window_note()
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({"written": out_path, "ratios": ratios}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
