@@ -132,15 +132,19 @@ def crawl_stages(spark, n_events: int, n_urls: int, path: str) -> dict[str, floa
             for t in ("hour", "day", "week")
         ]
     )
-    tidy = minute.select(
+    minute.unpersist()
+    # the north-star write path measured EXACTLY as the bench scale_job
+    # does: one linear action, NO live persist (a 30M-row cached tier
+    # sharing the heap with the encode kernels is GC contamination, not
+    # the production shape)
+    tidy = rollup_pages(pages).select(
         "url", "lang",
         (F.unix_timestamp("bucket_ts") / 60).cast("long").alias("bucket_idx"),
         F.col("cnt").cast("double").alias("value"),
     )
-    out["gorilla_encode"] = timed(
+    out["rollup_gorilla_encode"] = timed(
         lambda: encode_chunks(tidy, ["url", "lang"]).select(F.sum("n_points")).collect()
     )
-    minute.unpersist()
     return out
 
 
@@ -215,26 +219,61 @@ def embedding_stages(spark, emb) -> dict[str, float]:
     return out
 
 
+SCALES = {
+    "1x": {"events": 3_000_000, "urls": 20_000, "docs": 5_000, "vecs": 2_000},
+    "10x": {"events": 30_000_000, "urls": 200_000, "docs": 50_000, "vecs": 20_000},
+}
+
+
+def run_family(label: str, family: str) -> dict[str, float]:
+    cfg = SCALES[label]
+    spark = get_spark(
+        "scale-evidence", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    try:
+        if family == "crawl":
+            return crawl_stages(
+                spark, cfg["events"], cfg["urls"], f"/tmp/tslib_evidence_pages_{label}"
+            )
+        if family == "corpus":
+            docs = synth_documents(
+                spark, cfg["docs"], path=f"/tmp/tslib_evidence_docs_{label}"
+            )
+            return corpus_stages(spark, docs)
+        if family == "embeddings":
+            emb = synth_embeddings(
+                spark, cfg["vecs"], path=f"/tmp/tslib_evidence_emb_{label}"
+            )
+            return embedding_stages(spark, emb)
+        raise ValueError(family)
+    finally:
+        spark.stop()
+
+
 def main() -> None:
+    """Orchestrator: each (scale, family) runs in a FRESH subprocess JVM.
+
+    One long-lived JVM accumulates GC debt and page-cache state across
+    stage families — the first recorded run measured the 10× encode at
+    87 s in a shared JVM vs 22 s in a fresh one (same code, same heap).
+    Per-family isolation makes every stage's number attributable to that
+    stage."""
+    import subprocess
+
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_evidence_r5.json"
     from bench import _window_note
 
-    spark = get_spark("scale-evidence", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     result: dict = {"window_note_start": _window_note()}
-
-    scales = {
-        "1x": {"events": 3_000_000, "urls": 20_000, "docs": 5_000, "vecs": 2_000},
-        "10x": {"events": 30_000_000, "urls": 200_000, "docs": 50_000, "vecs": 20_000},
-    }
-    for label, cfg in scales.items():
-        pages_path = f"/tmp/tslib_evidence_pages_{label}"
+    here = os.path.abspath(__file__)
+    for label, cfg in SCALES.items():
         block: dict = {"config": cfg}
         t0 = time.time()
-        block["crawl"] = crawl_stages(spark, cfg["events"], cfg["urls"], pages_path)
-        docs = synth_documents(spark, cfg["docs"], path=f"/tmp/tslib_evidence_docs_{label}")
-        block["corpus"] = corpus_stages(spark, docs)
-        emb = synth_embeddings(spark, cfg["vecs"], path=f"/tmp/tslib_evidence_emb_{label}")
-        block["embeddings"] = embedding_stages(spark, emb)
+        for family in ("crawl", "corpus", "embeddings"):
+            out = subprocess.run(
+                [sys.executable, here, "--family", family, "--scale", label],
+                capture_output=True, text=True, check=True,
+            )
+            block[family] = json.loads(out.stdout.strip().splitlines()[-1])
         block["wall_secs"] = round(time.time() - t0, 1)
         result[label] = block
 
@@ -250,8 +289,12 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({"written": out_path, "ratios": ratios}))
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--family" in sys.argv:
+        fam = sys.argv[sys.argv.index("--family") + 1]
+        scale = sys.argv[sys.argv.index("--scale") + 1]
+        print(json.dumps(run_family(scale, fam)))
+    else:
+        main()

@@ -16,6 +16,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_driver_mem() -> str:
+    """Quarter of machine RAM, clamped to [4, 32] GiB.
+
+    In local mode the driver JVM hosts every executor thread, so its heap
+    IS the cluster memory. A fixed 8g on a 128 GiB / 32-core box
+    GC-thrashes once inputs grow: the 10× scale-evidence run (BENCH.md
+    r5) measured the rollup→Gorilla-encode job at 137 s under 8g vs 22 s
+    under 32g — same plan, pure GC. Sizing to the machine keeps the
+    measured stages linear in data size; SPARK_GRAFT_DRIVER_MEM still
+    overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(ln for ln in f if ln.startswith("MemTotal")).split()[1])
+        return f"{max(4, min(32, kb // (4 * 1024 * 1024)))}g"
+    except Exception:
+        return "8g"
+
 # At 100 TB these become cluster-level knobs (spark-submit --conf); the values
 # here are the local[32] test shape. shuffle.partitions ~ cores locally; on a
 # real cluster AQE coalesces from a high initial count, so we set the initial
@@ -37,7 +55,7 @@ _BASE_CONF = {
     # for mapInPandas/scalar pandas UDFs.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "134217728",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
     "spark.ui.enabled": "false",
 }
 
