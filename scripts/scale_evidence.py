@@ -250,6 +250,20 @@ def run_family(label: str, family: str) -> dict[str, float]:
         spark.stop()
 
 
+def _await_window(ref: float, deadline: float, threshold: float = 0.75) -> dict:
+    """Block until the ALU probe recovers to ``threshold``×ref or the
+    deadline passes; returns the last window note. Keeps a family from
+    *starting* inside a window the protocol would immediately attribute
+    as degraded."""
+    from bench import _window_note
+
+    note = _window_note()
+    while note["probe_mops"] < threshold * ref and time.time() < deadline:
+        time.sleep(30)
+        note = _window_note()
+    return note
+
+
 def main() -> None:
     """Orchestrator: each (scale, family) runs in a FRESH subprocess JVM.
 
@@ -257,23 +271,56 @@ def main() -> None:
     stage families — the first recorded run measured the 10× encode at
     87 s in a shared JVM vs 22 s in a fresh one (same code, same heap).
     Per-family isolation makes every stage's number attributable to that
-    stage."""
+    stage.
+
+    Window discipline (same rationale as bench.py's scaling retry): the
+    ALU probe is sampled around every family; a family whose window
+    collapsed mid-run (probe < 0.6×ref on either side) is re-run after
+    the probe recovers, up to SPARK_GRAFT_EVIDENCE_BUDGET seconds total.
+    Degraded attempts are kept verbatim in ``_retries`` — evidence, not
+    headline. (A first full recording measured 10× rollup_minute at
+    45.9 s in a window whose probe read 3.3 vs 14.0 Mops — 24 % machine
+    speed — against 11.6 s in a sane window: without the retry the ratio
+    table reads 20.7× for a linear stage.)"""
     import subprocess
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_evidence_r5.json"
     from bench import _window_note
 
-    result: dict = {"window_note_start": _window_note()}
+    ref = float(os.environ.get("SPARK_GRAFT_PROBE_REF", "12"))
+    budget = float(os.environ.get("SPARK_GRAFT_EVIDENCE_BUDGET", "7200"))
+    start = time.time()
+    result: dict = {"window_note_start": _window_note(), "probe_ref_mops": ref}
     here = os.path.abspath(__file__)
     for label, cfg in SCALES.items():
         block: dict = {"config": cfg}
         t0 = time.time()
         for family in ("crawl", "corpus", "embeddings"):
-            out = subprocess.run(
-                [sys.executable, here, "--family", family, "--scale", label],
-                capture_output=True, text=True, check=True,
-            )
-            block[family] = json.loads(out.stdout.strip().splitlines()[-1])
+            attempts: list[dict] = []
+            while True:
+                pre = _await_window(ref, start + budget - 240.0)
+                out = subprocess.run(
+                    [sys.executable, here, "--family", family, "--scale", label],
+                    capture_output=True, text=True, check=True,
+                )
+                data = json.loads(out.stdout.strip().splitlines()[-1])
+                post = _window_note()
+                data["_window"] = {"pre": pre, "post": post}
+                data["_degraded_window"] = (
+                    min(pre["probe_mops"], post["probe_mops"]) < 0.6 * ref
+                )
+                attempts.append(data)
+                if not data["_degraded_window"] or time.time() - start > budget - 600.0:
+                    break
+            chosen = next((a for a in attempts if not a["_degraded_window"]), attempts[-1])
+            if len(attempts) > 1:
+                chosen = dict(chosen)
+                chosen["_retries"] = [
+                    {k: v for k, v in a.items() if k != "_retries"}
+                    for a in attempts
+                    if a is not chosen
+                ]
+            block[family] = chosen
         block["wall_secs"] = round(time.time() - t0, 1)
         result[label] = block
 
@@ -282,6 +329,8 @@ def main() -> None:
     ratios: dict[str, float] = {}
     for fam in ("crawl", "corpus", "embeddings"):
         for stage, v1 in result["1x"][fam].items():
+            if stage.startswith("_"):
+                continue
             v10 = result["10x"][fam][stage]
             ratios[f"{fam}.{stage}"] = round(v10 / v1, 2) if v1 > 0 else None
     result["ratio_10x_over_1x"] = ratios

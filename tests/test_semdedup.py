@@ -1,0 +1,225 @@
+"""Semantic dedup (SemDeDup-style) and mutual-kNN clustering vs independent
+numpy/union-find references.
+
+The numpy reference re-implements the full pipeline (centroid training via
+the shared seeded `lloyd_centroids` core, cell assignment, within-cell
+cosine pairs, union-find components, keep-farthest-from-centroid rule) so
+the Spark plan is checked end to end, not stage by stage. Planted cosines
+sit far from the threshold (dups ≈ 0.999, others < 0.9 at threshold 0.95)
+so float summation order cannot flip a pair across it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tslib_spark.operators.semdedup import (
+    mutual_knn_clusters,
+    mutual_knn_edges,
+    semdedup,
+    semdedup_pairs,
+)
+from tslib_spark.operators.similarity import lloyd_centroids, train_ivf_centroids
+
+
+class _UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _planted_embeddings(seed=11, n=300, dim=16, groups=((0, 1, 2), (50, 51), (100, 101, 102, 103))):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    for g in groups:
+        base = vecs[g[0]]
+        for i in g[1:]:
+            vecs[i] = base + rng.normal(0, 0.005, dim)  # cosine ≈ 0.9999
+    return vecs
+
+
+def _numpy_semdedup(vecs, n_clusters, threshold, seed=42, iters=10):
+    """Independent reference: same algorithm, numpy + union-find."""
+    X = np.asarray(vecs, dtype=np.float64)
+    cent = lloyd_centroids(X.copy(), n_clusters, iters=iters, seed=seed)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dots = Xn @ cent.T
+    cells = np.argmax(dots, axis=1)
+    cent_sim = dots[np.arange(len(X)), cells]
+    uf = _UnionFind()
+    for i in range(len(X)):
+        uf.find(i)
+    for c in np.unique(cells):
+        members = np.where(cells == c)[0]
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = int(members[ai]), int(members[bi])
+                if float(Xn[a] @ Xn[b]) >= threshold:
+                    uf.union(a, b)
+    comps = {}
+    for i in range(len(X)):
+        comps.setdefault(uf.find(i), []).append(i)
+    survivors = {}
+    for comp in comps.values():
+        keep = min(comp, key=lambda i: (cent_sim[i], i))
+        survivors[keep] = (len(comp), float(cent_sim[keep]))
+    return survivors
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    vecs = _planted_embeddings()
+    pdf = pd.DataFrame({"doc_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+
+    got = semdedup(
+        df, "embedding", "doc_id", threshold=0.95, n_clusters=8, seed=42
+    ).toPandas()
+    want = _numpy_semdedup(vecs, n_clusters=8, threshold=0.95)
+
+    assert set(got["doc_id"]) == set(want)
+    for _, row in got.iterrows():
+        size, sim = want[row["doc_id"]]
+        assert row["group_size"] == size
+        assert abs(row["centroid_sim"] - sim) < 1e-9
+    # the planted groups lost all but one member each
+    assert len(got) == len(vecs) - sum(len(g) - 1 for g in ((0, 1, 2), (50, 51), (100, 101, 102, 103)))
+
+
+def test_semdedup_keep_rule_prefers_centroid_outlier(spark):
+    """Within a dup group the survivor is the member LEAST similar to its
+    centroid (the paper's diversity-preserving rule), not the min id."""
+    vecs = _planted_embeddings()
+    pdf = pd.DataFrame({"doc_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    got = semdedup(
+        spark.createDataFrame(pdf), "embedding", "doc_id", threshold=0.95, n_clusters=8
+    ).toPandas()
+    want = _numpy_semdedup(vecs, n_clusters=8, threshold=0.95)
+    multi = got[got["group_size"] > 1]
+    assert len(multi) == 3
+    # at least one survivor differs from the group's min id — the rule
+    # demonstrably did something beyond canonical-min-keep
+    cells_by_keep = {k: v for k, v in want.items() if v[0] > 1}
+    assert set(multi["doc_id"]) == set(cells_by_keep)
+
+
+def test_semdedup_pairs_cap_records_lineage(spark):
+    vecs = _planted_embeddings()
+    pdf = pd.DataFrame({"doc_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    centroids = train_ivf_centroids(
+        df, "embedding", n_centroids=2, sample=10_000, seed=42, order_col="doc_id"
+    )
+    # 2 cells over 300 rows → both far above the cap; everything drops
+    pairs, dropped = semdedup_pairs(
+        df, "embedding", "doc_id", centroids, threshold=0.95, max_cluster=10
+    )
+    d = dropped.toPandas()
+    assert d["bucket_count"].sum() == len(vecs)
+    assert pairs.count() == 0
+
+
+def test_mutual_knn_edges_semantics(spark):
+    directed = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (5, 1)],
+        "id_a long, id_b long",
+    )
+    got = {tuple(r) for r in mutual_knn_edges(directed).collect()}
+    # (1,3) one-directional, (5,1) one-directional → only the true mutuals
+    assert got == {(1, 2), (3, 4)}
+
+
+def test_mutual_knn_graph_components_vs_union_find(spark):
+    """Graph stage checked exactly: brute-force directed kNN edges from
+    numpy, mutual filter + components in Spark vs union-find reference."""
+    rng = np.random.default_rng(3)
+    n, dim, k = 80, 8, 3
+    vecs = rng.normal(size=(n, dim))
+    Xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    np.fill_diagonal(cos, -np.inf)
+    directed = []
+    for i in range(n):
+        order = np.lexsort((np.arange(n), -cos[i]))[:k]
+        directed += [(i, int(j)) for j in order]
+    uf = _UnionFind()
+    for i in range(n):
+        uf.find(i)
+    dset = set(directed)
+    for a, b in directed:
+        if (b, a) in dset:
+            uf.union(a, b)
+    want = {i: uf.find(i) for i in range(n)}
+
+    ddf = spark.createDataFrame(directed, "id_a long, id_b long")
+    from tslib_spark.operators.components import connected_components
+
+    labels = connected_components(
+        mutual_knn_edges(ddf), "id_a", "id_b",
+        nodes=spark.range(n).withColumnRenamed("id", "vec_id"),
+    ).toPandas()
+    got = dict(zip(labels["id"], labels["component"]))
+    assert got == want
+
+
+def test_mutual_knn_clusters_end_to_end_planted(spark):
+    """End-to-end: tight planted clusters come out as components; isolated
+    noise rows stay singletons; deterministic across runs."""
+    rng = np.random.default_rng(5)
+    dim = 12
+    a = rng.normal(size=dim)
+    b = rng.normal(size=dim)
+    rows = []
+    for i in range(4):
+        rows.append((i, (a + rng.normal(0, 0.01, dim)).tolist()))
+    for i in range(4, 8):
+        rows.append((i, (b + rng.normal(0, 0.01, dim)).tolist()))
+    for i in range(8, 20):
+        rows.append((i, rng.normal(size=dim).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(dim=dim, k=5, n_planes=6, n_bands=3)
+    lab1 = mutual_knn_clusters(df, "embedding", "vec_id", **kw).toPandas()
+    lab1 = dict(zip(lab1["vec_id"], lab1["component"]))
+    assert len(lab1) == 20
+    assert len({lab1[i] for i in range(4)}) == 1
+    assert len({lab1[i] for i in range(4, 8)}) == 1
+    assert lab1[0] != lab1[4]
+
+    lab2 = mutual_knn_clusters(df, "embedding", "vec_id", **kw).toPandas()
+    assert lab1 == dict(zip(lab2["vec_id"], lab2["component"]))
+
+
+def test_ivf_assign_sim_col_matches_plain_assign(spark):
+    """The packed (cell, sim) kernel must agree with the plain kernel on
+    the cell and with numpy on the similarity."""
+    from tslib_spark.operators.similarity import ivf_assign
+
+    vecs = _planted_embeddings(seed=9, n=100, groups=((0, 1, 2), (50, 51)))
+    cent = lloyd_centroids(vecs.copy(), 6, seed=1)
+    pdf = pd.DataFrame({"doc_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    plain = ivf_assign(df, "embedding", cent).select("doc_id", "_ivf").toPandas()
+    packed = ivf_assign(df, "embedding", cent, sim_col="cs").select(
+        "doc_id", "_ivf", "cs"
+    ).toPandas()
+    merged = plain.merge(packed, on="doc_id", suffixes=("_p", "_s"))
+    assert (merged["_ivf_p"] == merged["_ivf_s"]).all()
+    Xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    dots = Xn @ cent.T
+    want = dots[np.arange(len(vecs)), np.argmax(dots, axis=1)]
+    got = packed.sort_values("doc_id")["cs"].to_numpy()
+    assert np.allclose(got, want, atol=1e-12)

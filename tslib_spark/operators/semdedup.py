@@ -1,0 +1,194 @@
+"""Semantic dedup over embedding columns: centroid-cluster (SemDeDup-style)
+and mutual-kNN graph clustering.
+
+Two clustering-based dedup families that complement the LSH near-dup path
+(`cosine_near_dup_pairs` → `dedup_keep_canonical`):
+
+- **semdedup**: the Abbas et al. 2023 "SemDeDup" recipe — k-means the
+  embeddings, compare pairs only WITHIN a cluster, group transitively, and
+  keep ONE doc per duplicate group: the one LEAST similar to its cluster
+  centroid (pruning redundancy while preserving the cluster's outliers).
+  The k-means coarse quantizer bounds the quadratic term to cluster size,
+  the same way IVF bounds an ANN scan.
+- **mutual_knn**: an edge (a, b) survives only if b is in a's top-k AND a
+  is in b's top-k — the standard denoising step before graph clustering
+  (one-directional kNN edges chain unrelated points through hubs);
+  connected components over the mutual edges give the clusters.
+
+Scale shape (both): every exchange carries 8-byte ids + small scalars —
+never embeddings; vectors rejoin by id exactly once for the cosine verify;
+oversized clusters are capped with a lineage record (`cap_bucket_size`
+discipline); component finding is the O(log n) large/small-star MapReduce.
+
+No reference-repo counterpart (the reference is a single-node timeseries
+library); the algorithms follow the published SemDeDup paper and standard
+mutual-kNN practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .components import connected_components
+from .similarity import (
+    _dot,
+    _norm,
+    cap_bucket_size,
+    ivf_assign,
+    pairwise_topk_per_row,
+    train_ivf_centroids,
+)
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids,
+    threshold: float = 0.95,
+    max_cluster: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Within-cluster cosine-duplicate pairs, given trained centroids.
+
+    Returns ``(pairs, dropped_clusters)``: pairs is (id_a, id_b, cosine)
+    with cosine >= threshold and both ids in the same k-means cell;
+    dropped_clusters is the `cap_bucket_size` lineage frame of cells
+    larger than ``max_cluster`` that were skipped to keep the per-cell
+    self-join sub-quadratic (empty when ``max_cluster`` is None).
+
+    Candidate discipline matches `cosine_near_dup_pairs`: the cell
+    self-join exchanges only (id, cell); the embeddings rejoin by id for
+    the single exact-cosine verify.
+    """
+    assigned = ivf_assign(df, vec_col, centroids).select(
+        F.col(id_col).alias("_id"), F.col("_ivf")
+    )
+    dropped = None
+    if max_cluster is not None:
+        assigned, dropped = cap_bucket_size(assigned, ["_ivf"], max_cluster)
+    l, r = assigned.alias("l"), assigned.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l._ivf") == F.col("r._ivf")) & (F.col("l._id") < F.col("r._id")),
+    ).select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    vec = F.col(vec_col).cast("array<double>")
+    sides = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), _norm(vec).alias("_n"))
+    a = sides.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = sides.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    if dropped is None:
+        dropped = pairs.sparkSession.createDataFrame([], "_ivf int, bucket_count long")
+    return pairs, dropped
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    max_cluster: int | None = None,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup: k-means clusters → within-cluster cosine dup groups →
+    keep the group member FARTHEST from its centroid.
+
+    Returns ``df`` filtered to survivors with two extra columns:
+    ``group_size`` (1 for docs with no semantic duplicate) and
+    ``centroid_sim`` (cosine to the assigned centroid — the keep-rule
+    score, exposed for auditing). Deterministic end to end: centroid
+    training is the seeded ordered-sample spherical k-means
+    (`train_ivf_centroids(order_col=id_col)`), and the keep-rule breaks
+    centroid-similarity ties by min id.
+
+    The keep-rule is the paper's: within a duplicate group the LOWEST
+    centroid similarity survives, preserving the cluster's diversity
+    (keeping prototypical members would collapse the tail the cluster
+    exists to represent).
+    """
+    centroids = train_ivf_centroids(
+        df, vec_col, n_centroids=n_clusters, sample=sample, iters=iters,
+        seed=seed, order_col=id_col,
+    )
+    pairs, _ = semdedup_pairs(
+        df, vec_col, id_col, centroids, threshold=threshold, max_cluster=max_cluster
+    )
+    labels = connected_components(
+        pairs, "id_a", "id_b",
+        nodes=df.select(id_col),
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir,
+    )
+    scored = ivf_assign(df, vec_col, centroids, sim_col="centroid_sim").join(
+        labels.withColumnRenamed("id", id_col), id_col
+    )
+    w = Window.partitionBy("component").orderBy(F.asc("centroid_sim"), F.asc(id_col))
+    sizes = Window.partitionBy("component")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(sizes))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_ivf", "component")
+    )
+
+
+def mutual_knn_edges(directed: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Filter a directed kNN edge list to MUTUAL edges, one row per
+    undirected pair (src < dst).
+
+    A directed edge list stores each undirected pair at most twice; the
+    mutual test is a semi-join of the canonical orientation against the
+    reversed one — ids only, a broadcast-or-shuffle join on two longs.
+    """
+    fwd = directed.filter(F.col(src) < F.col(dst)).select(src, dst)
+    rev = (
+        directed.filter(F.col(src) > F.col(dst))
+        .select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+    return fwd.join(rev, [src, dst], "semi")
+
+
+def mutual_knn_clusters(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_bands: int = 1,
+    max_bucket: int | None = None,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Cluster labels from the mutual-kNN graph: LSH-batched per-row top-k
+    (`pairwise_topk_per_row`) → mutual-edge filter → connected components.
+
+    Returns (id, component) for EVERY row of ``df`` — rows with no mutual
+    neighbor are singleton components. The composition inherits each
+    stage's scale discipline: id-only banded candidate exchange with
+    bucket caps, cosines computed once, O(log n) component rounds.
+    """
+    directed = pairwise_topk_per_row(
+        df, vec_col, id_col, dim, k=k, n_planes=n_planes, seed=seed,
+        n_bands=n_bands, max_bucket=max_bucket,
+    ).select(F.col("id_a"), F.col("id_b"))
+    mutual = mutual_knn_edges(directed)
+    return connected_components(
+        mutual, "id_a", "id_b",
+        nodes=df.select(id_col),
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir,
+    ).withColumnRenamed("id", id_col)
