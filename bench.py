@@ -1,5 +1,13 @@
 """Headline benchmark. Prints ONE JSON line per the driver contract.
 
+The printed line is COMPACT (hard-capped under 2000 chars): the recording
+harness keeps only the last 2000 characters of stdout, and rounds 3-4
+proved the failure mode — the line grew past the buffer (scaling evidence
+arrays + notes) and the official artifacts recorded tail-truncated,
+unparseable output ("parsed": null in BENCH_r03/BENCH_r04). The full
+evidence record (per-round scaling arrays, window notes, per-query probe
+details, protocol notes) goes to bench_full.json next to this script.
+
 Workloads:
 - crawl pipeline (the north-star path): synthesized pages parquet →
   1-minute rollup → hour/day/week tier chain → checksum (forces full
@@ -609,6 +617,92 @@ def _window_note() -> dict:
     }
 
 
+_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+
+
+def _emit(result: dict) -> None:
+    """Write the full evidence to bench_full.json; print a compact
+    driver-contract line guaranteed to fit the 2000-char stdout tail the
+    recording harness keeps (see module docstring). Sheds optional fields
+    progressively — the line NEVER goes out unparseable."""
+    with open(_SIDECAR, "w") as f:
+        json.dump(result, f, indent=1)
+
+    compact: dict = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": {k: round(v, 2) for k, v in result["queries"].items()},
+    }
+    for k in (
+        "minute_tier_rows",
+        "rolled_points_per_sec",
+        "rolled_compressed_points_per_sec",
+        "bench_events",
+    ):
+        if k in result:
+            compact[k] = result[k]
+    if "gorilla" in result:
+        compact["gorilla_decode_pps"] = result["gorilla"]["decode_points_per_sec"]
+    if "window_note" in result:
+        compact["probe_mops"] = result["window_note"]["probe_mops"]
+    sc = result.get("scaling")
+    if sc:
+        compact["scaling"] = {
+            "efficiency": sc.get("efficiency"),
+            "degraded_window": sc.get("degraded_window"),
+            "efficiency_steal_clean": sc.get("efficiency_steal_clean"),
+            "fraction_of_ref": (sc.get("window_quality") or {}).get("fraction_of_ref"),
+            "retries_after_degraded": sc.get("retries_after_degraded"),
+            "points_per_sec": sc.get("points_per_sec"),
+        }
+    compact["full_evidence"] = "bench_full.json"
+
+    def _round_queries(c):
+        c["queries"] = {k: round(v, 1) for k, v in c["queries"].items()}
+
+    def _drop(key):
+        return lambda c: c.pop(key, None)
+
+    def _scaling_minimal(c):
+        if "scaling" in c:
+            c["scaling"] = {
+                "efficiency": c["scaling"].get("efficiency"),
+                "degraded_window": c["scaling"].get("degraded_window"),
+            }
+
+    def _short_metric(c):
+        c["metric"] = "end-to-end sec"
+
+    sheds = [
+        _round_queries,
+        _drop("gorilla_decode_pps"),
+        _drop("probe_mops"),
+        _drop("minute_tier_rows"),
+        _drop("bench_events"),
+        _scaling_minimal,
+        _drop("rolled_compressed_points_per_sec"),
+        _drop("full_evidence"),
+        _short_metric,
+    ]
+    budget = 1800  # driver tail buffer is 2000; leave margin
+    line = json.dumps(compact)
+    for shed in sheds:
+        if len(line) <= budget:
+            break
+        shed(compact)
+        line = json.dumps(compact)
+    # guaranteed-fit fallback: elide the cheapest queries (the expensive
+    # ones are the trend signal), counting what was dropped
+    while len(line) > budget and len(compact["queries"]) > 1:
+        cheapest = min(compact["queries"], key=lambda k: compact["queries"][k])
+        del compact["queries"][cheapest]
+        compact["queries_elided"] = compact.get("queries_elided", 0) + 1
+        line = json.dumps(compact)
+    print(line)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -638,7 +732,7 @@ def main() -> None:
         }
         _scaling(result)
         result["value"] = 0.0
-        print(json.dumps(result))
+        _emit(result)
         return
 
     # JIT/codegen warm-up dominates first executions (5s warm vs 20s+ cold
@@ -687,7 +781,7 @@ def main() -> None:
         _scaling(result)
 
     result["value"] = round(sum(timings.values()), 3)
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":

@@ -289,14 +289,27 @@ def main() -> None:
 
     ref = float(os.environ.get("SPARK_GRAFT_PROBE_REF", "12"))
     budget = float(os.environ.get("SPARK_GRAFT_EVIDENCE_BUDGET", "7200"))
+    repeats = int(os.environ.get("SPARK_GRAFT_EVIDENCE_REPEATS", "2"))
     start = time.time()
-    result: dict = {"window_note_start": _window_note(), "probe_ref_mops": ref}
+    result: dict = {
+        "window_note_start": _window_note(),
+        "probe_ref_mops": ref,
+        "repeats": repeats,
+    }
     here = os.path.abspath(__file__)
     for label, cfg in SCALES.items():
         block: dict = {"config": cfg}
         t0 = time.time()
         for family in ("crawl", "corpus", "embeddings"):
+            # min-of-k over time-separated fresh-JVM attempts: this host's
+            # degradation includes bandwidth/LLC collapse INVISIBLE to the
+            # ALU probe (BENCH.md r4 addendum 2 — one recorded window ran
+            # the 10x encode at 154 s vs 38 s for identical code while the
+            # probe read a passable 9.0). Minima across attempts separated
+            # by minutes are robust to it; the probe gate still skips
+            # starting inside an obviously-collapsed window.
             attempts: list[dict] = []
+            clean = 0
             while True:
                 pre = _await_window(ref, start + budget - 240.0)
                 out = subprocess.run(
@@ -307,19 +320,16 @@ def main() -> None:
                 post = _window_note()
                 data["_window"] = {"pre": pre, "post": post}
                 data["_degraded_window"] = (
-                    min(pre["probe_mops"], post["probe_mops"]) < 0.6 * ref
+                    min(pre["probe_mops"], post["probe_mops"]) < 0.7 * ref
                 )
                 attempts.append(data)
-                if not data["_degraded_window"] or time.time() - start > budget - 600.0:
+                clean += 0 if data["_degraded_window"] else 1
+                if clean >= repeats or time.time() - start > budget - 600.0:
                     break
-            chosen = next((a for a in attempts if not a["_degraded_window"]), attempts[-1])
-            if len(attempts) > 1:
-                chosen = dict(chosen)
-                chosen["_retries"] = [
-                    {k: v for k, v in a.items() if k != "_retries"}
-                    for a in attempts
-                    if a is not chosen
-                ]
+            usable = [a for a in attempts if not a["_degraded_window"]] or attempts
+            stages = [k for k in usable[0] if not k.startswith("_")]
+            chosen: dict = {s: min(a[s] for a in usable) for s in stages}
+            chosen["_attempts"] = attempts
             block[family] = chosen
         block["wall_secs"] = round(time.time() - t0, 1)
         result[label] = block
