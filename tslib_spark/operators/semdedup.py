@@ -59,11 +59,15 @@ def semdedup_pairs(
 
     Candidate discipline matches `cosine_near_dup_pairs`: the cell
     self-join exchanges only (id, cell); the embeddings rejoin by id for
-    the single exact-cosine verify.
+    the single exact-cosine verify. The (id, cell) frame is persisted —
+    12 bytes/row, spillable — because it feeds both sides of the cap
+    anti-join AND both sides of the pair self-join; without it the
+    assignment matmul kernel re-runs once per plan branch (4× in the
+    audited plan, PLANS.md r5).
     """
     assigned = ivf_assign(df, vec_col, centroids).select(
         F.col(id_col).alias("_id"), F.col("_ivf")
-    )
+    ).persist()
     dropped = None
     if max_cluster is not None:
         assigned, dropped = cap_bucket_size(assigned, ["_ivf"], max_cluster)
