@@ -10,8 +10,19 @@ import io
 import json
 import os
 
+import pytest
+
 import bench
 import __spark_entry__ as entry
+
+
+@pytest.fixture(autouse=True)
+def _isolated_sidecar(tmp_path, monkeypatch):
+    """_emit writes its sidecar to bench_full.json next to bench.py — the
+    REAL recorded artifact. Point it at a temp file so running the test
+    suite can never overwrite or delete a committed bench record (the
+    first version of this module deleted one)."""
+    monkeypatch.setattr(bench, "_SIDECAR", str(tmp_path / "bench_full.json"))
 
 
 def _fake_result(queries):
@@ -46,11 +57,6 @@ def _run_emit(queries):
     with contextlib.redirect_stdout(buf):
         bench._emit(_fake_result(queries))
     return buf.getvalue().strip()
-
-
-def teardown_module():
-    if os.path.exists(bench._SIDECAR):
-        os.remove(bench._SIDECAR)
 
 
 def test_real_contract_line_fits_with_all_queries():
