@@ -132,6 +132,25 @@ def test_semdedup_pairs_cap_records_lineage(spark):
     assert pairs.count() == 0
 
 
+def test_semdedup_partition_invariant(spark):
+    """Identical survivor set and group sizes at 1 vs 16 input partitions:
+    centroid training is an ordered sample, the keep-rule tie-breaks by
+    id, and components are order-free — nothing may depend on row order."""
+    vecs = _planted_embeddings()
+    pdf = pd.DataFrame({"doc_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    a = (
+        semdedup(df.repartition(1), "embedding", "doc_id", threshold=0.95, n_clusters=8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        semdedup(df.repartition(16), "embedding", "doc_id", threshold=0.95, n_clusters=8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["group_size"]) == list(b["group_size"])
+
+
 def test_mutual_knn_edges_semantics(spark):
     directed = spark.createDataFrame(
         [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (5, 1)],
