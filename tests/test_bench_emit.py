@@ -101,3 +101,85 @@ def test_sidecar_carries_the_full_record(tmp_path):
     assert full["query_detail"]["a"]["probe_mops"] == 14.0
     assert full["scaling"]["attempts"]
     assert full["scaling"]["note"]
+
+
+def test_emergency_emit_produces_parseable_partial_line(monkeypatch):
+    """A driver SIGTERM mid-run must still leave one parseable contract
+    line in the stdout tail (r5: rc 124 left only progress bars)."""
+    mid_run = {
+        "metric": "end-to-end seconds (crawl rollup->tiers + contract queries)",
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"crawl_rollup_tiers": 5.3, "rollup_minute": 1.1},
+        "bench_events": 3_000_000,
+        "window_note": {"probe_mops": 14.2, "steal_frac_1s": 0.0, "utc": "x"},
+        # scaling phase was mid-flight: one attempt already published
+        "scaling": {
+            "efficiency": 0.91,
+            "degraded_window": False,
+            "window_quality": {"fraction_of_ref": 0.88, "quorum_reached": True},
+            "attempts": [{"efficiency": 0.91}],
+        },
+    }
+    monkeypatch.setattr(bench, "_RESULT", mid_run)
+    monkeypatch.setattr(bench, "_EMITTED", False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._emergency_body(15)
+    line = buf.getvalue().strip()
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["partial"] is True
+    assert parsed["value"] == 6.4
+    assert parsed["queries"]["crawl_rollup_tiers"] == 5.3
+    assert parsed["scaling"]["efficiency"] == 0.91
+    # idempotent: a second signal (e.g. ALRM then TERM) must not print twice
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        bench._emergency_body(14)
+    assert buf2.getvalue() == ""
+
+
+def test_emergency_emit_noop_without_result(monkeypatch):
+    monkeypatch.setattr(bench, "_RESULT", None)
+    monkeypatch.setattr(bench, "_EMITTED", False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._emergency_body(15)
+    assert buf.getvalue() == ""
+
+
+def test_scaling_publish_headline_selection():
+    def attempt(eff, degraded, frac):
+        return {
+            "efficiency": eff,
+            "degraded_window": degraded,
+            "window_quality": {"fraction_of_ref": frac, "quorum_reached": True},
+            "rounds": 3,
+            "scaling_wall_secs": 100.0,
+        }
+
+    # clean attempt wins over earlier degraded ones
+    out = bench._scaling_publish(
+        [attempt(0.5, True, 0.4), attempt(0.95, False, 0.9)], 0.0, 150.0
+    )
+    assert out["efficiency"] == 0.95
+    assert out["degraded_window"] is False
+    assert out["retries_after_degraded"] == 1
+    assert len(out["attempts"]) == 2
+    # no clean attempt: best-quality degraded becomes headline, still flagged
+    out = bench._scaling_publish(
+        [attempt(0.5, True, 0.31), attempt(0.57, True, 0.71)], 0.0, 150.0
+    )
+    assert out["efficiency"] == 0.57
+    assert out["degraded_window"] is True
+
+
+def test_workload_degraded_flag_survives_compact_line():
+    r = _fake_result({"a": 1.0})
+    r["workload_window"] = {"degraded": True, "ref_pps": 590000.0, "checks": []}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._emit(r)
+    parsed = json.loads(buf.getvalue().strip())
+    assert parsed["workload_degraded"] is True

@@ -41,37 +41,51 @@ from .similarity import (
 )
 
 
+DEFAULT_MAX_CLUSTER = 2000
+
+
 def semdedup_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     centroids,
     threshold: float = 0.95,
-    max_cluster: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    max_cluster: int | None = DEFAULT_MAX_CLUSTER,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Within-cluster cosine-duplicate pairs, given trained centroids.
 
-    Returns ``(pairs, dropped_clusters)``: pairs is (id_a, id_b, cosine)
-    with cosine >= threshold and both ids in the same k-means cell;
-    dropped_clusters is the `cap_bucket_size` lineage frame of cells
-    larger than ``max_cluster`` that were skipped to keep the per-cell
-    self-join sub-quadratic (empty when ``max_cluster`` is None).
+    Returns ``(pairs, dropped_clusters, assigned)``: pairs is
+    (id_a, id_b, cosine) with cosine >= threshold and both ids in the
+    same k-means cell; dropped_clusters is the `cap_bucket_size` lineage
+    frame of cells larger than ``max_cluster`` that were skipped to keep
+    the per-cell self-join sub-quadratic; assigned is the PERSISTED
+    12-byte (_id, _ivf) frame both outputs are built over — the caller
+    owns its lifetime and must ``assigned.unpersist()`` once pairs and
+    dropped are materialized (r5 ADVICE: the old internal persist leaked
+    one cached RDD per call for the life of the session).
+
+    ``max_cluster`` defaults FINITE (2000): with the default 64 clusters
+    and no cap, the within-cell self-join is O((N/64)^2) — at corpus
+    scale exactly the quadratic blow-up `cap_bucket_size` exists to
+    prevent, reachable from the public API with defaults (r5 verdict #3).
+    A dropped cell degrades SAFELY: its ids produce no pairs, so every
+    doc in it survives dedup un-deduped, and the cell is recorded in the
+    lineage frame. Pass ``None`` only for small, known-bounded inputs.
 
     Candidate discipline matches `cosine_near_dup_pairs`: the cell
     self-join exchanges only (id, cell); the embeddings rejoin by id for
-    the single exact-cosine verify. The (id, cell) frame is persisted —
-    12 bytes/row, spillable — because it feeds both sides of the cap
-    anti-join AND both sides of the pair self-join; without it the
-    assignment matmul kernel re-runs once per plan branch (4× in the
-    audited plan, PLANS.md r5).
+    the single exact-cosine verify. The (id, cell) frame is persisted
+    because it feeds both sides of the cap anti-join AND both sides of
+    the pair self-join; without it the assignment matmul kernel re-runs
+    once per plan branch (4× in the audited plan, PLANS.md r5).
     """
     assigned = ivf_assign(df, vec_col, centroids).select(
         F.col(id_col).alias("_id"), F.col("_ivf")
     ).persist()
-    dropped = None
+    capped, dropped = assigned, None
     if max_cluster is not None:
-        assigned, dropped = cap_bucket_size(assigned, ["_ivf"], max_cluster)
-    l, r = assigned.alias("l"), assigned.alias("r")
+        capped, dropped = cap_bucket_size(assigned, ["_ivf"], max_cluster)
+    l, r = capped.alias("l"), capped.alias("r")
     cand = l.join(
         r,
         (F.col("l._ivf") == F.col("r._ivf")) & (F.col("l._id") < F.col("r._id")),
@@ -92,7 +106,7 @@ def semdedup_pairs(
     )
     if dropped is None:
         dropped = pairs.sparkSession.createDataFrame([], "_ivf int, bucket_count long")
-    return pairs, dropped
+    return pairs, dropped, assigned
 
 
 def semdedup(
@@ -104,7 +118,7 @@ def semdedup(
     sample: int = 10_000,
     iters: int = 10,
     seed: int = 42,
-    max_cluster: int | None = None,
+    max_cluster: int | None = DEFAULT_MAX_CLUSTER,
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -123,19 +137,27 @@ def semdedup(
     centroid similarity survives, preserving the cluster's diversity
     (keeping prototypical members would collapse the tail the cluster
     exists to represent).
+
+    ``max_cluster`` defaults finite (see `semdedup_pairs`): cells larger
+    than it are skipped — all their docs survive un-deduped — instead of
+    running an O(cell²) self-join with default arguments.
     """
     centroids = train_ivf_centroids(
         df, vec_col, n_centroids=n_clusters, sample=sample, iters=iters,
         seed=seed, order_col=id_col,
     )
-    pairs, _ = semdedup_pairs(
+    pairs, _, assigned = semdedup_pairs(
         df, vec_col, id_col, centroids, threshold=threshold, max_cluster=max_cluster
     )
+    # connected_components eagerly materializes its input edge set
+    # (localCheckpoint) before returning, so the persisted (id, cell)
+    # frame is fully consumed here and can be released (r5 ADVICE leak)
     labels = connected_components(
         pairs, "id_a", "id_b",
         nodes=df.select(id_col),
         max_iter=max_iter, checkpoint_dir=checkpoint_dir,
     )
+    assigned.unpersist()
     scored = ivf_assign(df, vec_col, centroids, sim_col="centroid_sim").join(
         labels.withColumnRenamed("id", id_col), id_col
     )

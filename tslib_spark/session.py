@@ -57,6 +57,10 @@ _BASE_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
     "spark.ui.enabled": "false",
+    # The recording harness keeps only the tail of bench.py's stdout; the
+    # r5 official artifact was 100% console-progress bars (BENCH_r05.json
+    # tail). Nothing but the one contract line may reach stdout.
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
