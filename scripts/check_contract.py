@@ -63,48 +63,62 @@ def main(sf_dir: str, only: list[str] | None = None):
     failures = []
     seen = set()  # explicit verdict-row accounting: every registered query
     # must produce exactly one verdict line (round-4 lesson: an ABSENT row
-    # is worse than a red one — it reads as coverage that isn't)
+    # is worse than a red one — it reads as coverage that isn't). Names
+    # enter `seen` only AFTER their verdict line prints, so the MISSING
+    # check below is live accounting, not a tautology (r5 ADVICE: the old
+    # version added every name up front and could never fire).
     for name, fn in qs.items():
-        seen.add(name)
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(ex).__name__}: {str(ex)[:200]}")
+            seen.add(name)
             continue
         if name not in osql:
             print(f"rows-only  {name}: {len(got)} rows  ({time.time()-t0:.1f}s)")
+            seen.add(name)
             continue
         try:
             want = con.execute(osql[name]).fetchdf()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {str(ex)[:200]}")
+            seen.add(name)
             continue
-        g, w = canon(got), canon(want)
-        status = []
-        if len(g) != len(w):
-            status.append(f"rowcount {len(g)} vs {len(w)}")
-        if list(g.columns) != list(w.columns):
-            status.append(f"cols {list(g.columns)} vs {list(w.columns)}")
-        if not status:
-            for c in g.columns:
-                if pd.api.types.is_float_dtype(g[c]):
-                    a, b = g[c].to_numpy(), w[c].to_numpy()
-                    both_nan = np.isnan(a) & np.isnan(b)
-                    exact = (a == b) | both_nan
-                    if not exact.all():
-                        md = np.nanmax(np.abs(a - b))
-                        status.append(f"{c}: {(~exact).sum()} diffs, maxabs={md:.3e}")
-                else:
-                    if not g[c].equals(w[c]):
-                        status.append(f"{c}: value mismatch")
+        try:
+            g, w = canon(got), canon(want)
+            status = []
+            if len(g) != len(w):
+                status.append(f"rowcount {len(g)} vs {len(w)}")
+            if list(g.columns) != list(w.columns):
+                status.append(f"cols {list(g.columns)} vs {list(w.columns)}")
+            if not status:
+                for c in g.columns:
+                    if pd.api.types.is_float_dtype(g[c]):
+                        a, b = g[c].to_numpy(), w[c].to_numpy()
+                        both_nan = np.isnan(a) & np.isnan(b)
+                        exact = (a == b) | both_nan
+                        if not exact.all():
+                            md = np.nanmax(np.abs(a - b))
+                            status.append(f"{c}: {(~exact).sum()} diffs, maxabs={md:.3e}")
+                    else:
+                        if not g[c].equals(w[c]):
+                            status.append(f"{c}: value mismatch")
+        except Exception as ex:
+            # a checker bug must not abort the loop — it would silently
+            # drop every later query's verdict row
+            failures.append(name)
+            print(f"FAIL  {name}: checker error {type(ex).__name__}: {str(ex)[:200]}")
+            seen.add(name)
+            continue
         if status:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(status)}  ({time.time()-t0:.1f}s)")
         else:
             print(f"OK    {name}: {len(g)} rows exact  ({time.time()-t0:.1f}s)")
+        seen.add(name)
 
     spark.stop()
     missing = sorted(set(qs) - seen)

@@ -213,9 +213,23 @@ def embedding_stages(spark, emb) -> dict[str, float]:
     out["connected_components"] = timed(
         lambda: _force(connected_components(pairs_fn().select("id_a", "id_b")))
     )
-    out["full_dup_clusters"] = timed(
-        lambda: _force(connected_components(pairs_fn().select("id_a", "id_b")))
-    )
+    # the full composition: LSH pairs -> components -> labels joined back
+    # to the corpus with cluster sizes (r5 ADVICE: this stage previously
+    # re-timed the bare CC lambda, recording a duplicate measurement
+    # labeled as the composition)
+    def _full_composition():
+        labels = connected_components(
+            pairs_fn().select("id_a", "id_b"), nodes=base.select("vec_id")
+        )
+        return (
+            base.join(labels.withColumnRenamed("id", "vec_id"), "vec_id")
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .select(F.sum("cluster_size"), F.count(F.lit(1)))
+            .collect()
+        )
+
+    out["full_dup_clusters"] = timed(_full_composition)
     return out
 
 

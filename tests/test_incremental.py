@@ -724,3 +724,53 @@ def test_checkpointed_marker_compacts_file_set(spark, tmp_path, low_rank_series,
         marker = json.load(f)
     assert len(marker["files"]) <= 2, "marker file set not compacted"
     assert marker["files_seen"] == 4
+
+
+def test_marker_compaction_never_truncates_current_batch(
+    spark, tmp_path, low_rank_series, monkeypatch
+):
+    """ADVICE r5: when a SINGLE batch carries more files than
+    _MAX_MARKER_FILES, the rolling tail must still retain that batch's
+    whole file set — truncating to the constant would drop files just
+    applied, and a replay of that uncommitted batch would double-fold
+    the dropped ones."""
+    import json
+    import os
+
+    from tslib_spark.streaming import model_stream
+
+    monkeypatch.setattr(model_stream, "_MAX_MARKER_FILES", 2)
+
+    N, M_total, mat = low_rank_series
+    M0 = 32
+    cfg = ModelConfig(target_key="t1", N=N, M=M0, k=3)
+    base = mat[:, :M0].flatten("F")
+    blocks = [mat[:, M0 + i : M0 + i + 2].flatten("F") for i in range(0, 8, 2)]
+
+    state_dir = str(tmp_path / "model_state")
+    fit_state(spark.createDataFrame(tidy(base)), cfg).write.parquet(state_dir)
+    src = str(tmp_path / "blocks")
+    start = N * M0
+    for i, blk in enumerate(blocks):
+        pdf = tidy(blk, start_idx=start + i * len(blk))[["group_id", "bucket_idx", "value"]]
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    # one availableNow batch over ALL 4 files (> the patched cap of 2)
+    q = model_stream.stream_update_svd(
+        spark, src, "group_id string, bucket_idx long, value double", state_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=16,
+    )
+    q.awaitTermination(180)
+    with open(os.path.join(state_dir, "_applied_epoch")) as f:
+        marker = json.load(f)
+    # the whole 4-file batch survived compaction — nothing applied was lost
+    assert len(marker["files"]) == 4
+    assert marker["files_seen"] == 4
+    # and a restart over the same source folds nothing twice
+    q2 = model_stream.stream_update_svd(
+        spark, src, "group_id string, bucket_idx long, value double", state_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=16,
+    )
+    q2.awaitTermination(180)
+    got = spark.read.parquet(state_dir).toPandas().iloc[0]
+    assert got["times_updated"] == 1

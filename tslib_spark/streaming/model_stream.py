@@ -218,7 +218,11 @@ def stream_update_svd(
             # stays bounded on long-lived streams. Without a checkpoint a
             # restart re-reads EVERY source file, so the full set is the
             # only exact guard: it grows with the source, documented above.
-            all_files = all_files[-_MAX_MARKER_FILES:]
+            # The tail must always retain the CURRENT batch's file set in
+            # full: if one batch carries more than _MAX_MARKER_FILES files,
+            # truncating to the constant would drop files just applied, and
+            # a replay of that (uncommitted) batch would double-fold them.
+            all_files = all_files[-max(_MAX_MARKER_FILES, len(files)):]
         marker_payload = {
             "epoch_id": max(epoch_id, prev_epoch),
             "files": all_files,
