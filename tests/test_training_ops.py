@@ -915,6 +915,91 @@ def test_mp4_metadata_parse_and_frame_plan(spark):
     assert frames["frame_ms"].tolist() == [0, 1000, 2000, 3000]
 
 
+def _ebml_size(n: int) -> bytes:
+    """Minimal-width EBML size vint (marker bit + value bits)."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("size too large")
+
+
+def _ebml_el(eid: bytes, body: bytes) -> bytes:
+    return eid + _ebml_size(len(body)) + body
+
+
+def _webm_bytes(
+    duration_ms: float,
+    w: int,
+    h: int,
+    doctype: bytes = b"webm",
+    scale_ns: int | None = 1_000_000,
+    f64: bool = False,
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """Independent minimal Matroska builder: EBML(DocType) +
+    Segment(Info(TimestampScale, Duration) + Tracks(video + audio))."""
+    import struct
+
+    header = _ebml_el(b"\x1aE\xdf\xa3", _ebml_el(b"\x42\x82", doctype))
+    ticks = duration_ms * 1_000_000 / (scale_ns or 1_000_000)
+    dur = struct.pack(">d" if f64 else ">f", ticks)
+    info_body = (b"" if scale_ns is None else _ebml_el(b"\x2a\xd7\xb1", scale_ns.to_bytes(4, "big")))
+    info_body += _ebml_el(b"\x44\x89", dur)
+    video = _ebml_el(b"\xe0", _ebml_el(b"\xb0", w.to_bytes(2, "big")) + _ebml_el(b"\xba", h.to_bytes(2, "big")))
+    vtrack = _ebml_el(b"\xae", _ebml_el(b"\x83", b"\x01") + _ebml_el(b"\x86", b"V_VP9") + video)
+    atrack = _ebml_el(b"\xae", _ebml_el(b"\x83", b"\x02") + _ebml_el(b"\x86", b"A_OPUS"))
+    seg_body = _ebml_el(b"\x15\x49\xa9\x66", info_body) + _ebml_el(b"\x16\x54\xae\x6b", vtrack + atrack)
+    if unknown_segment_size:
+        # all-ones 1-byte size = unknown: segment runs to end of stream
+        return header + b"\x18\x53\x80\x67" + b"\xff" + seg_body
+    return header + _ebml_el(b"\x18\x53\x80\x67", seg_body)
+
+
+def test_webm_metadata_parse_and_frame_plan(spark):
+    """EBML walk extracts DocType/duration/dimensions/codecs without frame
+    decode (the WebM twin of the MP4 box walk, r5 verdict #4), and the
+    duration feeds frame_sample's plan through decode_media."""
+    from tslib_spark.operators.multimodal import parse_webm_meta
+
+    webm = _webm_bytes(3500.0, 640, 360)
+    meta = parse_webm_meta(webm)
+    assert meta == {
+        "doctype": "webm", "duration_ms": 3500, "width": 640, "height": 360,
+        "codecs": ["V_VP9", "A_OPUS"],
+    }
+    # float64 duration, non-default TimestampScale (0.1 ms ticks), mkv DocType
+    meta2 = parse_webm_meta(
+        _webm_bytes(2000.0, 320, 240, doctype=b"matroska", scale_ns=100_000, f64=True)
+    )
+    assert (meta2["duration_ms"], meta2["doctype"]) == (2000, "matroska")
+    # TimestampScale absent → spec default 1 ms ticks
+    assert parse_webm_meta(_webm_bytes(1500.0, 64, 48, scale_ns=None))["duration_ms"] == 1500
+    # unknown-size Segment (live/streamed capture) still parses
+    assert parse_webm_meta(_webm_bytes(700.0, 64, 48, unknown_segment_size=True))["duration_ms"] == 700
+
+    with pytest.raises(ValueError, match="not an EBML"):
+        parse_webm_meta(b"\x00\x00\x00\x08junk")
+    with pytest.raises(ValueError, match="truncated EBML"):
+        parse_webm_meta(webm[:-5])
+
+    media = make_media_table(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "blob": [webm]})),
+        "doc_id", "blob", "video",
+    )
+    got = decode_media(media, fake=False).toPandas().iloc[0]
+    assert (got["mime"], got["width"], got["height"], got["duration_ms"]) == (
+        "video/webm", 640, 360, 3500,
+    )
+    assert got["features"] is None
+    frames = frame_sample(
+        decode_media(media, fake=False).join(
+            media.select("media_id", "payload"), "media_id"
+        ).select("media_id", "kind", "payload", "duration_ms"),
+        every_ms=1000,
+    ).toPandas()
+    assert frames["frame_ms"].tolist() == [0, 1000, 2000, 3000]
+
+
 def test_jpeg_fill_bytes_before_markers():
     """T.81 B.1.1.2: legal JPEGs may pad with 0xFF fill bytes before any
     marker (common in real crawled files). The header loop and the

@@ -348,6 +348,121 @@ def parse_mp4_meta(payload: bytes) -> dict:
     }
 
 
+_EBML_MAGIC = b"\x1aE\xdf\xa3"  # EBML header element ID 0x1A45DFA3
+
+
+def _ebml_vint(buf: bytes, i: int, end: int, keep_marker: bool) -> tuple[int, int, bool]:
+    """Decode one EBML variable-length integer at ``buf[i]``.
+
+    Returns ``(value, next_offset, unknown)``. Element IDs keep their
+    length-marker bit (they are matched as stored); sizes clear it. A size
+    whose value bits are all ones means "unknown size" (live/streamed
+    master elements) — reported via the third slot.
+    """
+    if i >= end:
+        raise ValueError("truncated EBML: vint starts past end of scope")
+    b0 = buf[i]
+    if b0 == 0:
+        raise ValueError(f"invalid EBML vint lead byte 0x00 at {i}")
+    length = 8 - b0.bit_length() + 1
+    if i + length > end:
+        raise ValueError(f"truncated EBML: {length}-byte vint cut off at {i}")
+    raw = int.from_bytes(buf[i : i + length], "big")
+    if keep_marker:
+        return raw, i + length, False
+    marker = 1 << (7 * length)
+    value = raw - marker
+    return value, i + length, value == marker - 1
+
+
+def _ebml_elements(buf: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for EBML siblings in
+    [start, end). An unknown-size element extends to the end of the
+    enclosing scope and is necessarily the last sibling (the format gives
+    no way to locate the next one)."""
+    i = start
+    while i < end:
+        eid, j, _ = _ebml_vint(buf, i, end, keep_marker=True)
+        size, k, unknown = _ebml_vint(buf, j, end, keep_marker=False)
+        if unknown:
+            yield eid, k, end
+            return
+        if k + size > end:
+            raise ValueError(
+                f"truncated EBML: element 0x{eid:X} declares {size} bytes at {i}"
+            )
+        yield eid, k, k + size
+        i = k + size
+
+
+def parse_webm_meta(payload: bytes) -> dict:
+    """Matroska/WebM metadata WITHOUT frame decode: a pure EBML walk
+    extracting DocType, duration (Info/Duration × TimestampScale), first
+    video track dimensions (TrackEntry/Video PixelWidth/Height), and every
+    track's CodecID — the WebM twin of ``parse_mp4_meta`` (same role:
+    feeds frame_sample's plan and codec/resolution filtering; H.264/VP9
+    frame decode needs codec libraries absent from this container and
+    stays env-gated). Element IDs per the public Matroska/EBML spec
+    (RFC 8794 + matroska.org); no reference-repo counterpart."""
+    if payload[:4] != _EBML_MAGIC:
+        raise ValueError("not an EBML (Matroska/WebM) file")
+    doctype = "matroska"  # the spec's default when DocType is absent
+    duration_ms = None
+    width = height = None
+    codecs: list[str] = []
+    timescale_ns = 1_000_000  # TimestampScale default: 1 ms in nanoseconds
+    duration_ticks = None
+
+    def walk_track_entry(s: int, e: int) -> None:
+        nonlocal width, height
+        for t, bs, be in _ebml_elements(payload, s, e):
+            if t == 0x86:  # CodecID (ASCII, e.g. V_VP9, A_OPUS)
+                codecs.append(payload[bs:be].rstrip(b"\x00").decode("latin1"))
+            elif t == 0xE0:  # Video settings
+                for t2, cs, ce in _ebml_elements(payload, bs, be):
+                    if t2 == 0xB0 and width is None:  # PixelWidth
+                        width = int.from_bytes(payload[cs:ce], "big")
+                    elif t2 == 0xBA and height is None:  # PixelHeight
+                        height = int.from_bytes(payload[cs:ce], "big")
+
+    for eid, bs, be in _ebml_elements(payload, 0, len(payload)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for t, cs, ce in _ebml_elements(payload, bs, be):
+                if t == 0x4282:  # DocType
+                    doctype = payload[cs:ce].rstrip(b"\x00").decode("latin1")
+        elif eid == 0x18538067:  # Segment
+            for t, cs, ce in _ebml_elements(payload, bs, be):
+                if t == 0x1549A966:  # Info
+                    for t2, ds, de in _ebml_elements(payload, cs, ce):
+                        if t2 == 0x2AD7B1:  # TimestampScale (ns per tick)
+                            timescale_ns = int.from_bytes(payload[ds:de], "big")
+                        elif t2 == 0x4489:  # Duration (float ticks)
+                            n = de - ds
+                            if n == 4:
+                                duration_ticks = struct.unpack(">f", payload[ds:de])[0]
+                            elif n == 8:
+                                duration_ticks = struct.unpack(">d", payload[ds:de])[0]
+                            else:
+                                raise ValueError(
+                                    f"invalid EBML Duration width {n} (float is 4 or 8)"
+                                )
+                elif t == 0x1654AE6B:  # Tracks
+                    for t2, ds, de in _ebml_elements(payload, cs, ce):
+                        if t2 == 0xAE:  # TrackEntry
+                            walk_track_entry(ds, de)
+    if duration_ticks is not None:
+        duration_ms = int(round(duration_ticks * timescale_ns / 1e6))
+    if duration_ms is None:
+        raise ValueError("Matroska/WebM has no Segment Info/Duration metadata")
+    return {
+        "doctype": doctype,
+        "duration_ms": duration_ms,
+        "width": width,
+        "height": height,
+        "codecs": codecs,
+    }
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE PCM → (duration_ms, features): chunk walk, numpy sample
     decode. Features are the FEATURE_DIM-bin mean-|amplitude| envelope of
@@ -595,8 +710,14 @@ def _decode_real(payload: bytes) -> dict:
         return {"mime": "video/mp4", "width": meta["width"],
                 "height": meta["height"], "duration_ms": meta["duration_ms"],
                 "features": None}
+    if payload[:4] == _EBML_MAGIC:
+        meta = parse_webm_meta(payload)
+        mime = "video/webm" if meta["doctype"] == "webm" else "video/x-matroska"
+        return {"mime": mime, "width": meta["width"],
+                "height": meta["height"], "duration_ms": meta["duration_ms"],
+                "features": None}
     raise NotImplementedError(
-        "only PPM (P6), PNG, GIF, baseline JPEG, WAV (PCM), and MP4 "
+        "only PPM (P6), PNG, GIF, baseline JPEG, WAV (PCM), and MP4/WebM "
         "metadata parse without external media libs; this container ships "
         "none (video FRAME decode stays gated) — pass fake=True for the "
         "deterministic stub"
