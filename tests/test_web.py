@@ -150,6 +150,52 @@ def test_psl_full_algorithm_matches_python_reference(spark):
     assert icann["deep.user.github.io"] == "github.io"
 
 
+def test_psl_private_next_tier_resolves_registrant_label(spark):
+    """r5 verdict #5: the next tier of high-traffic PRIVATE hosts (site
+    builders, PaaS, serverless, tunnels, object storage) must resolve to
+    the registrant label — a subdomain on these platforms belongs to the
+    registrant, not the platform."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tslib_spark.functions.web import psl_registrable_domain
+
+    cases = {
+        "myblog.wordpress.com": "myblog.wordpress.com",
+        "shop.myshopify.com": "shop.myshopify.com",
+        "site.webflow.io": "site.webflow.io",
+        "proj.readthedocs.io": "proj.readthedocs.io",
+        "docs.gitbook.io": "docs.gitbook.io",
+        "app.glitch.me": "app.glitch.me",
+        "bot.repl.co": "bot.repl.co",
+        "api.fly.dev": "api.fly.dev",
+        "svc.onrender.com": "svc.onrender.com",
+        "demo.surge.sh": "demo.surge.sh",
+        "fan.neocities.org": "fan.neocities.org",
+        "main.amplifyapp.com": "main.amplifyapp.com",
+        "app.azurestaticapps.net": "app.azurestaticapps.net",
+        "fn.cloudfunctions.net": "fn.cloudfunctions.net",
+        "svc.run.app": "svc.run.app",
+        "worker.deno.dev": "worker.deno.dev",
+        "proj.supabase.co": "proj.supabase.co",
+        "space.hf.space": "space.hf.space",
+        "viz.streamlit.app": "viz.streamlit.app",
+        "tunnel.ngrok.io": "tunnel.ngrok.io",
+        "rand.trycloudflare.com": "rand.trycloudflare.com",
+        "pub-abc123.r2.dev": "pub-abc123.r2.dev",
+        # deeper subdomains collapse to registrant.suffix
+        "www.deep.myblog.wordpress.com": "myblog.wordpress.com",
+        "a.b.main.amplifyapp.com": "main.amplifyapp.com",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"host": list(cases)}))
+    got = (
+        df.select("host", psl_registrable_domain(F.col("host")).alias("dom"))
+        .toPandas().set_index("host")["dom"]
+    )
+    for host, want in cases.items():
+        assert got[host] == want, (host, got[host], want)
+
+
 def test_psl_parser_sections_and_syntax():
     from tslib_spark.functions.psl_snapshot import parse_psl
 

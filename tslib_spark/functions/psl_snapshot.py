@@ -175,6 +175,31 @@ pages.dev
 workers.dev
 wixsite.com
 s3.amazonaws.com
+// Next tier of high-traffic PRIVATE hosts (r5 verdict #5): site builders,
+// PaaS/static-hosting platforms, serverless runtimes, tunnels, object
+// storage — all present in the upstream PRIVATE section
+wordpress.com
+myshopify.com
+webflow.io
+readthedocs.io
+gitbook.io
+glitch.me
+repl.co
+fly.dev
+onrender.com
+surge.sh
+neocities.org
+amplifyapp.com
+azurestaticapps.net
+cloudfunctions.net
+run.app
+deno.dev
+supabase.co
+hf.space
+streamlit.app
+ngrok.io
+trycloudflare.com
+r2.dev
 """
 
 PSL_DAT: str = (
