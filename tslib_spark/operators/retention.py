@@ -280,7 +280,24 @@ class TierStore:
             stored = stored.filter(F.col("part_key").isin(pks))
         return self._partition_checksums(recomputed) == self._partition_checksums(stored)
 
-    def retention_pass(self, tier: str, expire_before: str) -> list[str]:
+    def expire_snapshots(
+        self, older_than_ts: float, retain_last: int = 8, tiers: list[str] | None = None
+    ) -> list[str]:
+        """Prune superseded metadata generations through the catalog seam:
+        manifest ``.gen-*`` files for the parquet backend, table snapshots
+        via ``CALL system.expire_snapshots`` for Iceberg. The live manifest
+        and the newest ``retain_last`` generations always survive, so
+        lineage audit depth is bounded instead of unbounded."""
+        return self.backend.expire_snapshots(
+            self.spark,
+            tiers if tiers is not None else ["minute", "hour", "day", "week"],
+            older_than_ts,
+            retain_last,
+        )
+
+    def retention_pass(
+        self, tier: str, expire_before: str, manifest_retain_last: int = 8
+    ) -> list[str]:
         """Expire ``tier`` partitions with part_key < expire_before, gated on
         the covering coarser tier provably holding them; records 'expired'
         lineage (terminal — expired ranges never rematerialize).
@@ -291,7 +308,16 @@ class TierStore:
         coarse partitions already missing some fine rows from an earlier
         pass can't be recomputed, so they are integrity-checked against the
         checksum recorded in the checkpoint when they were materialized.
+
+        After the parity-gated expiry commits, superseded metadata
+        generations are pruned down to ``manifest_retain_last`` via the
+        backend's ``expire_snapshots`` (Iceberg snapshot-expiry semantics;
+        the parity gate has just re-certified the LIVE state, so history
+        beyond the retained tail is provably redundant). Pass
+        ``manifest_retain_last=0`` with care — the newest generations are
+        the audit trail for the pass itself.
         """
+        import time as _time
         order = ["minute", "hour", "day", "week"]
         coarse = order[order.index(tier) + 1]
         cp = self.checkpoint.read()
@@ -332,4 +358,7 @@ class TierStore:
             self.backend.drop_partition(self.spark, tier, pk)
             self.checkpoint.mark(tier, pk, "expired", 0, 0, 0)
             expired.append(pk)
+        self.backend.expire_snapshots(
+            self.spark, [tier], _time.time(), manifest_retain_last
+        )
         return expired

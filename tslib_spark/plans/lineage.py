@@ -43,9 +43,22 @@ class CheckpointStore:
         return pd.DataFrame(columns=COLUMNS)
 
     def _write(self, df: pd.DataFrame) -> None:
+        """Atomic replace, retaining the superseded manifest as a
+        GENERATION file (``<path>.gen-<time_ns>``) — the parquet stand-in
+        for Iceberg's snapshot history: every state of the lineage table
+        stays auditable until an ``expire_snapshots`` pass prunes it
+        (sources/catalog.py ParquetManifestBackend.expire_snapshots)."""
         tmp = f"{self.path}.tmp-{os.getpid()}"
         df.to_parquet(tmp, index=False)
+        if os.path.exists(self.path):
+            os.replace(self.path, f"{self.path}.gen-{time.time_ns():020d}")
         os.replace(tmp, self.path)
+
+    def generation_paths(self) -> list[str]:
+        """Superseded manifest generations, oldest first."""
+        import glob
+
+        return sorted(glob.glob(f"{self.path}.gen-*"))
 
     def done_partitions(self, tier: str) -> set[str]:
         df = self.read()

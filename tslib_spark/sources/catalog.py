@@ -9,6 +9,9 @@ bytes goes through a backend with four operations:
     write_partitions(spark, tier, df)— dynamic-overwrite the df's
                                        part_key partitions
     drop_partition(spark, tier, pk)  — physically remove one partition
+    expire_snapshots(spark, tiers, older_than_ts, retain_last)
+                                     — prune superseded metadata
+                                       generations / table snapshots
 
 ``ParquetManifestBackend`` is the default and the only one exercisable in
 this sandbox (no Iceberg runtime jar ships here): a parquet directory per
@@ -59,6 +62,35 @@ class ParquetManifestBackend:
         part_dir = Path(self.table_path(tier)) / f"part_key={part_key}"
         if part_dir.exists():
             shutil.rmtree(part_dir)
+
+    def expire_snapshots(
+        self,
+        spark: SparkSession,
+        tiers: list[str],
+        older_than_ts: float,
+        retain_last: int = 3,
+    ) -> list[str]:
+        """Prune superseded checkpoint-manifest generations — this
+        backend's metadata layer is the TierStore checkpoint (the
+        Iceberg-snapshot stand-in), and every manifest rewrite retains its
+        predecessor as ``checkpoint.parquet.gen-<time_ns>``
+        (plans/lineage.py). Generations written before ``older_than_ts``
+        are removed, always keeping the newest ``retain_last`` plus the
+        live manifest — the exact contract of Iceberg's
+        ``expire_snapshots(older_than, retain_last)``. The manifest is
+        store-wide, so ``tiers`` is ignored here (one metadata tree serves
+        every tier). Returns removed file names."""
+        gens = sorted((self.root).glob("checkpoint.parquet.gen-*"))
+        keep = set(gens[len(gens) - retain_last :]) if retain_last > 0 else set()
+        removed: list[str] = []
+        for p in gens:
+            if p in keep:
+                continue
+            written_ns = int(p.name.rsplit("gen-", 1)[1])
+            if written_ns / 1e9 < older_than_ts:
+                p.unlink()
+                removed.append(p.name)
+        return removed
 
 
 class IcebergBackend:
@@ -112,3 +144,31 @@ class IcebergBackend:
             f"DELETE FROM {self._table(tier)} WHERE part_key = :pk",
             args={"pk": part_key},
         )
+
+    def expire_snapshots(
+        self,
+        spark: SparkSession,
+        tiers: list[str],
+        older_than_ts: float,
+        retain_last: int = 3,
+    ) -> list[str]:
+        """Iceberg snapshot expiry via the catalog's stored procedure —
+        one ``CALL <catalog>.system.expire_snapshots`` per tier table.
+        Every interpolated piece is engine-validated, never caller text:
+        the table identifier is built from this backend's own fields, the
+        timestamp is formatted from a float epoch, retain_last is int()."""
+        import datetime
+
+        ts = datetime.datetime.fromtimestamp(
+            float(older_than_ts), datetime.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        out: list[str] = []
+        for tier in tiers:
+            spark.sql(
+                f"CALL {self.catalog}.system.expire_snapshots("
+                f"table => '{self.namespace}.tier_{tier}', "
+                f"older_than => TIMESTAMP '{ts}', "
+                f"retain_last => {int(retain_last)})"
+            )
+            out.append(self._table(tier))
+        return out
