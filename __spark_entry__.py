@@ -930,6 +930,25 @@ def _q_knn_graph(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration is PINNED at exactly 50 names (the harness records at
+    # most 50 verdict rows; tests/test_entry_contract.py enforces the
+    # count). If the cap ever rises, promote candidates in this order —
+    # each already has a tested operator and an oracle strategy ready, so
+    # a cap raise converts to verdict coverage the same day:
+    #  1. semdedup — SemDeDup composition on the embeddings table
+    #     (operators/semdedup.py; oracle: the within-cell pair generation +
+    #     union-find re-expressed as a DuckDB recursive CTE, exactly the
+    #     embedding_dup_clusters precedent; pytest numpy/union-find oracle
+    #     already green in tests/test_semdedup.py).
+    #  2. mutual_knn_clusters — mutual-kNN graph clustering
+    #     (semdedup.py:mutual_knn_clusters; oracle: directed top-k from the
+    #     frozen-fixture kNN path, mutual filter + recursive-CTE CC).
+    #  3. media_meta_video — MP4 + WebM metadata extraction over a video
+    #     media table (parse_mp4_meta/parse_webm_meta; oracle: frozen
+    #     fixture of the independently hand-built box/EBML writers used in
+    #     tests/test_training_ops.py).
+    #  4. ivf_topk standalone — currently method-tagged inside
+    #     ann_methods_topk (see _q_ann_methods_topk docstring).
     return {
         "rollup_minute": _q_rollup_minute,
         "downsample_hour": _q_downsample_hour,
