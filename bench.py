@@ -86,6 +86,22 @@ def _remaining() -> float:
     return _BUDGET - (time.time() - _T0)
 
 
+def _die_with_parent() -> None:
+    """preexec_fn: have the kernel SIGKILL this child when bench.py dies.
+
+    The emergency-emit path ends in os._exit(0), which skips every
+    try/finally — in round 6 that orphaned four ballast busy-loops
+    (PPID 1, 97% CPU each) which then read as a 0.13-0.52
+    fraction_of_ref "host degradation" for the rest of the session.
+    PR_SET_PDEATHSIG survives the taskset execve, so ballast and
+    scale-runner children can never outlive the bench process.
+    """
+    import ctypes
+
+    libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    libc.prctl(1, signal.SIGKILL)  # PR_SET_PDEATHSIG = 1
+
+
 def _finalize(result: dict) -> None:
     """Idempotent final emit — the normal path and the signal path share
     it, so the contract line goes out exactly once."""
@@ -353,6 +369,11 @@ def contract_queries(spark, sf_dir: str, result: dict) -> None:
     # before it ran, so cross-round per-query trends can be read without
     # same-day builder reruns to rule out host-window drift
     k = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
+    if (result.get("workload_window") or {}).get("degraded"):
+        # flagged-degraded window: min-of-2 of degraded samples is still a
+        # degraded sample — spend the budget on completing every phase
+        # (the flag tells trend readers to discard the row anyway)
+        k = 1
     from scripts.scale_runner import _probe_speed
 
     probe_cores = set(range(16, 24))
@@ -570,10 +591,12 @@ def _scaling_attempt(budget_secs: float) -> dict:
                         ["taskset", "-c", str(bcore), sys.executable, "-c",
                          "while True: pass"],
                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                        preexec_fn=_die_with_parent,
                     )
                 )
         try:
-            out = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                                 env=env, preexec_fn=_die_with_parent)
         finally:
             for p in ballast:
                 p.kill()
