@@ -328,7 +328,12 @@ def _workload_gate(spark, result: dict) -> None:
     ref_applies = explicit_ref or result.get("bench_events") == 3_000_000
     checks: list[dict] = []
     while True:
-        secs, pts = scale_job(spark)
+        # min-of-2 back-to-back: the probe plan only reaches JIT/page-cache
+        # steady state on its ~3rd execution in a JVM (measured 109k → 301k
+        # → 643k pps on an idle host), so a single post-one-warm-up sample
+        # reads ~0.5× ref and flags a clean machine as degraded. Two
+        # back-to-back runs cost ~10 s clean and make the check warm.
+        secs, pts = min((scale_job(spark) for _ in range(2)), key=lambda t: t[0])
         frac = (pts / secs) / ref_pps if ref_pps else 1.0
         checks.append({"probe_pps": round(pts / secs, 1), "fraction_of_ref": round(frac, 3)})
         # retry only while the budget still fits cooldown + the whole
