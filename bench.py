@@ -42,6 +42,10 @@ SPARK_GRAFT_BENCH_EVENTS (pages scale, default 3_000_000),
 SPARK_GRAFT_TOTAL_BUDGET (whole-script wall budget, default 1350),
 SPARK_GRAFT_SCALING_RESERVE (secs held back for the scaling phase, 480),
 SPARK_GRAFT_SKIP_SCALING=1 to skip the scaling phase,
+SPARK_GRAFT_SCALING_FIRST (default 1: the scaling phase runs BEFORE the
+workload — it is the north rule's acceptance criterion, so it gets the
+window that was clean at launch time; capped at 60% of the total budget
+so the workload trend row always survives; 0 restores scaling-last),
 SPARK_GRAFT_QUERY_REPEATS (per-query min-of-k, default 2),
 SPARK_GRAFT_WORKLOAD_REF_PPS / _REF_FRAC / _COOLDOWN for the
 job-anchored workload-window gate,
@@ -411,7 +415,7 @@ def contract_queries(spark, sf_dir: str, result: dict) -> None:
         result["queries_skipped_for_budget"] = skipped
 
 
-def _scaling(result: dict) -> None:
+def _scaling(result: dict, cap_secs: float | None = None) -> None:
     """Degraded-window-RETRYING scaling record; writes result["scaling"].
 
     Round-4 lesson (the judge's #1): the protocol could *attribute* a
@@ -438,6 +442,8 @@ def _scaling(result: dict) -> None:
     # total-budget guard (r5 verdict #1): the phase can never take more
     # than what remains of the whole-script budget, minus emit margin
     phase_budget = min(phase_budget, max(_remaining() - 75.0, 0.0))
+    if cap_secs is not None:
+        phase_budget = min(phase_budget, cap_secs)
     if phase_budget < 210.0:
         result["scaling"] = {
             "skipped": (
@@ -903,7 +909,7 @@ def _emit(result: dict) -> None:
 
 
 def main() -> None:
-    global _RESULT
+    global _RESULT, _SCALING_RESERVE
     _install_guards()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -943,6 +949,23 @@ def main() -> None:
         _finalize(result)
         return
 
+    scaling_first = (
+        os.environ.get("SPARK_GRAFT_SCALING_FIRST", "1") == "1"
+        and os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1"
+    )
+    if scaling_first:
+        # The scaling block is the north rule's acceptance criterion — take
+        # it FIRST, in the same window that was judged clean at launch,
+        # instead of hoping the window survives the 35-query workload phase
+        # (r6 attempt 1: a mid-run degradation blew the budget inside
+        # substring_dups and the artifact recorded scaling: nulls). Capped
+        # at 60% of the total budget so the workload row always survives;
+        # the reserve is then zeroed — there is nothing left to hold back.
+        spark.stop()
+        _scaling(result, cap_secs=0.6 * _BUDGET)
+        _SCALING_RESERVE = 0.0
+        spark = get_spark("bench", master=f"local[{cpus}]")
+
     # JIT/codegen warm-up dominates first executions (5s warm vs 20s+ cold
     # for the same plan) — warm the whole job mix once, then measure min-of-k.
     scale_job(spark)
@@ -974,7 +997,7 @@ def main() -> None:
         result["gorilla"] = codec_bench(spark)
     spark.stop()
 
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" and not scaling_first:
         _scaling(result)
 
     result["value"] = round(sum(timings.values()), 3)
