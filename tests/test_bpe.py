@@ -146,3 +146,22 @@ def test_bpe_roundtrip_reconstructs_text(spark, corpus):
         want = " ".join(texts[r["doc_id"]].split())
         got = r["joined"].replace(END_OF_WORD, " ").rstrip()
         assert got == want
+
+
+def test_bpe_pack_composition(spark, corpus):
+    """Tokenize -> count -> pack: the packed offsets over BPE token counts
+    match the pure-Python composition of both oracles."""
+    from pyspark.sql import functions as F
+
+    from tslib_spark.operators.packing import pack_sequences
+
+    texts, df = corpus
+    merges = _py_bpe_train(texts, num_merges=25)
+    enc = bpe_encode(df, merges).withColumn("n_bpe", F.size("bpe_tokens"))
+    packed = pack_sequences(enc, token_col="n_bpe", order_col="doc_id", budget=64)
+    got = {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in packed.collect()}
+    acc = 0
+    for i, t in enumerate(texts):
+        n = len(_py_encode(t, merges))
+        assert got[i] == (acc // 64, acc % 64)
+        acc += n

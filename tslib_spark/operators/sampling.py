@@ -16,10 +16,10 @@ hash to a float (exact at any corpus size, bit-equal to the pure-Python
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "hash_sample"]
+__all__ = ["hash_split", "hash_sample", "token_budget_sample"]
 
 _U64 = 1 << 64
 _I64_MIN = -(1 << 63)
@@ -93,3 +93,86 @@ def hash_sample(
     for value, r in rates.items():
         cut = F.when(F.col(strata_col) == F.lit(value), F.lit(_threshold(r))).otherwise(cut)
     return df.filter(h < cut)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    strata_col: str | None = None,
+    seed: int = 42,
+    oversample: float = 1.25,
+) -> DataFrame:
+    """Deterministic token-budget sample: per stratum, keep documents in
+    xxhash64(seed, id) order until their cumulative ``token_col`` reaches
+    ``budget`` ("give me ~10B tokens per language").
+
+    A document is kept iff the token sum of the docs BEFORE it (in hash
+    order) is under the budget, so the budget overshoots by at most one
+    document — the concat-and-chunk convention (`packing.py`). Strata with
+    fewer than ``budget`` total tokens keep everything.
+
+    Scale design: the exact trim needs an ordered prefix sum per stratum,
+    and a window over a whole 100 TB stratum is the one-task trap. Because
+    the order IS the hash, the hash-threshold prefilter ``h < cut`` keeps
+    exactly a prefix of that order — so sizing the cut from per-stratum
+    token totals (a #strata-row collect) bounds the window input to
+    ~``oversample``×budget tokens per stratum while provably selecting the
+    IDENTICAL set as trimming the full stratum. If a stratum's survivors
+    still fall short of the budget (token-mass skew), its rate doubles
+    until satisfied or the prefilter disables — a log-bounded driver loop,
+    one small aggregate per round.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    stratum = F.col(strata_col) if strata_col is not None else F.lit("__all__")
+    h = _hash64(id_col, seed)
+    base = df.withColumn("_tbs_h", h).withColumn("_tbs_s", stratum)
+    totals = {
+        r["_tbs_s"]: r["total"]
+        for r in base.groupBy("_tbs_s").agg(F.sum(token_col).alias("total")).collect()
+    }
+    rates = {
+        s: min(1.0, oversample * budget / t) if t and t > 0 else 1.0
+        for s, t in totals.items()
+    }
+
+    def survivors() -> DataFrame:
+        cut = F.lit(_threshold(1.0))
+        for s, rate in rates.items():
+            if rate < 1.0:
+                cut = F.when(F.col("_tbs_s") == F.lit(s), F.lit(_threshold(rate))).otherwise(cut)
+        return base.filter(F.col("_tbs_h") < cut)
+
+    pre = survivors()
+    while True:
+        surv_tot = {
+            r["_tbs_s"]: r["total"] or 0
+            for r in pre.groupBy("_tbs_s").agg(F.sum(token_col).alias("total")).collect()
+        }
+        # iterate rates, not the aggregate: a stratum whose prefilter kept
+        # ZERO rows emits no aggregate row but is the shortest of all
+        short = {
+            s for s, rate in rates.items()
+            if rate < 1.0 and surv_tot.get(s, 0) < budget
+        }
+        # a stratum whose FULL token mass is under budget is never short:
+        # its rate is 1.0 and the filter keeps all of it
+        if not short:
+            break
+        for s in short:
+            rates[s] = min(1.0, rates[s] * 2.0)
+        pre = survivors()
+
+    w = (
+        Window.partitionBy("_tbs_s")
+        .orderBy("_tbs_h", F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return (
+        pre.withColumn("_tbs_prefix", prefix)
+        .filter(F.col("_tbs_prefix") < F.lit(int(budget)))
+        .drop("_tbs_h", "_tbs_s", "_tbs_prefix")
+    )
