@@ -239,6 +239,56 @@ SCALES = {
 }
 
 
+def r6ops_stages(spark, docs) -> dict[str, float]:
+    """Round-6 operators: LM train/score, DSIR weight+resample, BPE
+    train/encode, token-budget sampling. Expected shapes at 10×: lm_train,
+    lm_score, dsir, bpe_encode and the sampler scale with the corpus
+    (ratio ≈ 10 on a fixed-core box); bpe_train is vocabulary-bound after
+    its one corpus-sized word count (the synthetic vocab is constant
+    across scales, so its ratio ≈ 1 — that is the point of training on
+    the distinct-word table)."""
+    from tslib_spark.functions.text import token_count
+    from tslib_spark.operators.bpe import bpe_encode, bpe_train
+    from tslib_spark.operators.lm_quality import (
+        dsir_log_ratio,
+        dsir_resample,
+        dsir_weights,
+        lm_score,
+        ngram_lm_train,
+    )
+    from tslib_spark.operators.sampling import token_budget_sample
+
+    out = {}
+    target = docs.filter(F.col("lang") == "en")
+    out["lm_train"] = timed(lambda: _force(ngram_lm_train(target, order=2, min_count=2)))
+    lm = ngram_lm_train(target, order=2, min_count=2).persist()
+    lm.count()
+    out["lm_score"] = timed(lambda: _force(lm_score(docs, lm, order=2)))
+
+    def _dsir():
+        ratio = dsir_log_ratio(target, docs, buckets=4096)
+        weights = dsir_weights(docs, ratio, buckets=4096)
+        dsir_resample(weights, frac=0.3).count()
+
+    out["dsir_weight_resample"] = timed(_dsir)
+    out["bpe_train_8"] = timed(
+        lambda: bpe_train(docs, num_merges=8, min_pair_count=2), repeats=1
+    )
+    merges = bpe_train(docs, num_merges=8, min_pair_count=2)
+    out["bpe_encode"] = timed(lambda: _force(bpe_encode(docs, merges)))
+    toks = docs.withColumn("n_tokens", token_count(F.col("text")))
+    total = int(toks.agg(F.sum("n_tokens")).collect()[0][0] or 0)
+    out["token_budget_sample"] = timed(
+        lambda: _force(
+            token_budget_sample(
+                toks, "doc_id", "n_tokens", max(1, int(total * 0.3) // 5), strata_col="lang"
+            )
+        )
+    )
+    lm.unpersist()
+    return out
+
+
 def run_family(label: str, family: str) -> dict[str, float]:
     cfg = SCALES[label]
     spark = get_spark(
@@ -259,6 +309,11 @@ def run_family(label: str, family: str) -> dict[str, float]:
                 spark, cfg["vecs"], path=f"/tmp/tslib_evidence_emb_{label}"
             )
             return embedding_stages(spark, emb)
+        if family == "r6ops":
+            docs = synth_documents(
+                spark, cfg["docs"], path=f"/tmp/tslib_evidence_docs_{label}"
+            )
+            return r6ops_stages(spark, docs)
         raise ValueError(family)
     finally:
         spark.stop()
@@ -314,7 +369,7 @@ def main() -> None:
     for label, cfg in SCALES.items():
         block: dict = {"config": cfg}
         t0 = time.time()
-        for family in ("crawl", "corpus", "embeddings"):
+        for family in ("crawl", "corpus", "embeddings", "r6ops"):
             # min-of-k over time-separated fresh-JVM attempts: this host's
             # degradation includes bandwidth/LLC collapse INVISIBLE to the
             # ALU probe (BENCH.md r4 addendum 2 — one recorded window ran
@@ -351,7 +406,7 @@ def main() -> None:
     # stage-by-stage 10x/1x wall ratios (ideal ≈ 10 for CPU-bound stages
     # on a fixed-core box; sublinear stages show where fixed costs sit)
     ratios: dict[str, float] = {}
-    for fam in ("crawl", "corpus", "embeddings"):
+    for fam in ("crawl", "corpus", "embeddings", "r6ops"):
         for stage, v1 in result["1x"][fam].items():
             if stage.startswith("_"):
                 continue
