@@ -236,3 +236,26 @@ def test_dsir_resample_deterministic_and_partition_invariant(spark, corpus):
         dsir_resample(w)
     with pytest.raises(ValueError):
         dsir_resample(w, k=5, frac=0.1)
+
+
+def test_plan_shapes(spark, corpus):
+    """Plan discipline: lm_score's window is partitioned per document
+    (never the single-partition WindowExec trap), and the only nested-loop
+    join in the DSIR plans is the intended 1-row broadcast totals
+    cross-join in dsir_log_ratio — no real cartesian products anywhere."""
+    rows, df = corpus
+    lm = ngram_lm_train(df, order=2)
+    plan = lm_score(df, lm, order=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the lag window rides a per-document partitioning
+    assert "Window" in plan and "doc_id" in plan.split("Window", 1)[1][:400]
+
+    ratio = dsir_log_ratio(df.limit(20), df, buckets=64)
+    rplan = ratio._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan  # totals ride a broadcast NLJ, not a cartesian
+    w = dsir_weights(df, ratio, buckets=64)
+    wplan = w._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in wplan
+    sel = dsir_resample(w, k=5)
+    splan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in splan  # top-k, never a full global sort
