@@ -767,8 +767,12 @@ def _q_minhash_near_dup(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    from tslib_spark.operators.dedup import simhash_agg
+
     docs = _read(spark, sf_dir, "documents")
-    return simhash(docs.select("doc_id", "text"), "text").select("doc_id", "simhash")
+    # agg form is bit-identical to the expression form (pytest-pinned
+    # parity) and several times faster — see operators/dedup.simhash_agg
+    return simhash_agg(docs.select("doc_id", "text"), "doc_id", "text")
 
 
 def _q_ivf_topk(spark, sf_dir):

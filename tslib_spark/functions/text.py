@@ -44,14 +44,24 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
 
 
+# Java \p{Punct}: exactly these 32 ASCII characters.
+_PUNCT_CHARS = "".join(
+    chr(c)
+    for c in (*range(33, 48), *range(58, 65), *range(91, 97), *range(123, 127))
+)
+
+
 def punct_ratio(text: Column) -> Column:
-    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
-    return F.length(stripped).cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+    # count-by-deletion with translate (no regex engine): identical to
+    # length(regexp_replace(text, '[^\\p{Punct}]', '')) — both count
+    # codepoints in the same 32-char class — at a fraction of the cost
+    n_punct = F.length(text) - F.length(F.translate(text, _PUNCT_CHARS, ""))
+    return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
 
 
 def digit_ratio(text: Column) -> Column:
-    stripped = F.regexp_replace(text, r"[^0-9]", "")
-    return F.length(stripped).cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+    n_digit = F.length(text) - F.length(F.translate(text, "0123456789", ""))
+    return n_digit.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:

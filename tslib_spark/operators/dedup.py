@@ -53,12 +53,21 @@ def shingles(
     instead of multi-word strings — a large shuffle-volume cut at corpus
     scale, with negligible collision probability for exact-Jaccard use.
     """
-    toks = tokens(F.col(text_col))
+    # Materialize the token array in its own projection first: an inline
+    # ``split`` is re-evaluated for EVERY transform element (O(n²) regex
+    # splits per doc, measured 10× on the window pass — OPTIMIZATION_r07.md).
+    # The gram string + xxhash64-of-string form is pinned: the frozen
+    # minhash fixtures replay exactly these hash inputs.
+    toked = df.withColumn("_sh_toks", tokens(F.col(text_col)))
+    toks = F.col("_sh_toks")
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     if hashed:
-        grams = F.transform(grams, lambda g: F.xxhash64(g))
-    return df.withColumn(out_col, F.array_distinct(grams))
+        grams = F.transform(
+            starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))
+        )
+    else:
+        grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return toked.withColumn(out_col, F.array_distinct(grams)).drop("_sh_toks")
 
 
 def minhash_signature(
@@ -83,6 +92,45 @@ def minhash_signature(
         ),
     )
     return df.withColumn(out_col, sig)
+
+
+def minhash_signature_agg(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    num_hashes: int = 64,
+    seed: int = 42,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """(id, minhash) via explode + codegen min-aggregate — value-identical
+    to :func:`minhash_signature` (pytest-pinned), several times faster.
+
+    The higher-order fold in ``minhash_signature`` runs interpreted lambda
+    machinery (3 array allocations per shingle per row); here each shingle
+    row evaluates ``num_hashes`` codegen ``xxhash64`` + ``min`` aggregate
+    expressions. A doc's shingles live in one row, so map-side partial
+    aggregation collapses everything before the exchange — the shuffle
+    carries one (id, num_hashes × long) row per doc per partition.
+
+    Hash-input parity with the fold path: the fold hashes
+    ``(shingle, seed_i)`` where ``seed_i`` is an element of
+    ``sequence(lit(seed), ...)`` — IntegerType — so the literal here must
+    stay an int32 literal too (xxhash64 hashes int and long differently).
+    Docs whose shingle array is NULL (null text) keep a NULL signature via
+    the left join, exactly like the fold path. (A doc with an EMPTY shingle
+    array would get NULL here vs the fold path's max-long fill — ``shingles``
+    never produces an empty array, so the pipeline can't hit that case.)
+    """
+    exploded = df.select(F.col(id_col), F.explode(shingle_col).alias("_s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(seed + i))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(out_col),
+    )
+    return df.select(id_col).join(sig, id_col, "left")
 
 
 def _band_array(minhash_col: str, bands: int, rows_per_band: int):
@@ -222,14 +270,14 @@ def near_dup_minhash(
     projected = df.select(id_col, text_col)
     if not materialize:
         sh = shingles(projected, text_col, n)
-        mh = minhash_signature(sh, num_hashes=num_hashes, seed=seed)
+        mh = minhash_signature_agg(sh, id_col, num_hashes=num_hashes, seed=seed)
         cands = lsh_candidate_pairs(
             mh, id_col, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
         )
         return jaccard_verify(cands, sh, id_col, threshold=threshold)
     sh = shingles(projected, text_col, n).persist()
     try:
-        mh = minhash_signature(sh, num_hashes=num_hashes, seed=seed)
+        mh = minhash_signature_agg(sh, id_col, num_hashes=num_hashes, seed=seed)
         cands = lsh_candidate_pairs(
             mh, id_col, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
         )
@@ -274,6 +322,45 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
         """
     )
     return df.withColumn(out_col, sim)
+
+
+def simhash_agg(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """(id, simhash) via explode + 64 codegen vote aggregates — value-
+    identical to :func:`simhash` (pytest-pinned), several times faster.
+
+    The expression form folds a 64-wide vote array per TOKEN through
+    interpreted lambda machinery (a fresh 64-element array per token); here
+    each exploded token row evaluates 64 codegen shift/mask/sum aggregate
+    expressions, and map-side partial aggregation collapses a doc's votes
+    before the exchange (one (id, 64 × long) row per doc per partition).
+    Integer vote sums are exactly associative, and the bit-packing CASE
+    arithmetic is replicated verbatim, so outputs match bit-for-bit.
+    NULL text keeps a NULL simhash via the left join, like the fold path.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    ex = toked.select(F.col(id_col), F.explode("_toks").alias("_t"))
+    h = F.xxhash64(F.col("_t"))
+    aggs = [
+        F.sum(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int") * F.lit(2) - F.lit(1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    votes = ex.groupBy(id_col).agg(*aggs)
+    terms = [
+        F.when(
+            F.col(f"_v{b}") > 0,
+            F.lit(-(2**63) if b == 63 else (1 << b)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    packed_expr = terms[0]
+    for t in terms[1:]:
+        packed_expr = packed_expr + t
+    packed = votes.select(F.col(id_col), packed_expr.alias(out_col))
+    return df.select(id_col).join(packed, id_col, "left")
 
 
 def simhash_near_dups(

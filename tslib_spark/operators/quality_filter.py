@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tslib_spark.functions.text import digit_ratio, punct_ratio
-from tslib_spark.operators.repetition import repetition_signals
+from tslib_spark.functions.text import digit_ratio, punct_ratio, token_count
+from tslib_spark.operators.repetition import _ngram_stats, _with_ratios, dup_token_frac
 
 __all__ = ["quality_filter"]
 
@@ -50,13 +50,25 @@ def quality_filter(
     ``keep`` for the surviving corpus and aggregate ``fail_reasons`` for
     the drop report.
     """
-    sig = repetition_signals(docs, id_col, text_col, n=n)
-    ratios = docs.select(
+    # ONE per-doc projection computes every row-local signal (token count,
+    # dup-token fraction, punct/digit ratios) so a single left join against
+    # the n-gram aggregate remains — the previous shape scanned the corpus
+    # twice and joined twice (r7, guide §2.4: share the exchange).
+    per_doc = docs.select(
         F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("total_tokens"),
+        dup_token_frac(F.col(text_col)).alias("dup_token_frac"),
         punct_ratio(F.col(text_col)).alias("punct_ratio"),
         digit_ratio(F.col(text_col)).alias("digit_ratio"),
     )
-    df = sig.join(ratios, id_col)
+    joined = per_doc.join(_ngram_stats(docs, id_col, text_col, n), id_col, "left")
+    df = _with_ratios(
+        joined, id_col,
+        ["total_tokens", "dup_token_frac", "punct_ratio", "digit_ratio"],
+    ).select(
+        id_col, "total_tokens", "dup_token_frac", "ngram_total",
+        "top_ngram_share", "dup_ngram_frac", "punct_ratio", "digit_ratio",
+    )
 
     rules = [
         ("too_short", F.col("total_tokens") < min_tokens),

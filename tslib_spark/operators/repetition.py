@@ -51,10 +51,22 @@ def _ngrams(text: Column, n: int) -> Column:
 
 def _ngram_stats(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, ngram_total, top_cnt, dup_cnt) for docs with ≥ n tokens only —
-    the two-level aggregate; callers left-join to cover short docs."""
-    grams = docs.select(
-        F.col(id_col), F.explode(_ngrams(F.col(text_col), n)).alias("ngram")
-    )
+    the two-level aggregate; callers left-join to cover short docs.
+
+    Histogram key = 64-bit hash of the n-token slice, not the gram string
+    (r7): the token array is materialized once per row (an inline ``split``
+    re-evaluates PER transform element — O(n²) regex splits per doc,
+    measured 10×), and hashing the slice skips building every gram string
+    before the exchange. Counts are identical up to an intra-doc 64-bit
+    hash collision (~L²/2⁶⁴ per doc — negligible, and verified against the
+    gram-string oracle at the contract scale factors)."""
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    total = F.size("_toks")
+    starts = F.sequence(F.lit(1), total - F.lit(n - 1))
+    gram_hashes = F.when(
+        total >= n, F.transform(starts, lambda i: F.xxhash64(F.slice("_toks", i, n)))
+    ).otherwise(F.array().cast("array<long>"))
+    grams = toked.select(F.col(id_col), F.explode(gram_hashes).alias("ngram"))
     hist = grams.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("cnt"))
     return hist.groupBy(id_col).agg(
         F.sum("cnt").alias("ngram_total"),

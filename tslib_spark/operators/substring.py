@@ -44,12 +44,25 @@ from tslib_spark.functions.text import tokens
 __all__ = ["doc_windows", "oversized_windows", "substring_dup_pairs"]
 
 
-def _window_grams(text: Column, window_tokens: int) -> Column:
-    toks = tokens(text)
-    n = F.size(toks)
+def _window_hashes(toks_col: str, window_tokens: int) -> Column:
+    """array<long>: xxhash64 of every ``window_tokens``-token slice of the
+    ALREADY-MATERIALIZED token-array column ``toks_col``.
+
+    Two deliberate choices (r7 measurement, OPTIMIZATION_r07.md):
+    - the token array must be a real column, not an inline ``split`` expr:
+      Catalyst re-evaluates a lambda body's subexpressions per array
+      element, so ``slice(split(text), i, w)`` inside ``transform`` costs
+      one regex split of the whole document PER WINDOW — O(n²) per doc
+      (measured 27 s vs 2.6 s for the sf1.0 window pass);
+    - the hash is taken over the token-array slice directly instead of a
+      ``concat_ws`` gram string — same equality structure (tokens contain
+      no whitespace, so n-token sequences map 1:1 to joined strings) with
+      no per-window string materialization.
+    """
+    n = F.size(toks_col)
     starts = F.sequence(F.lit(1), n - F.lit(window_tokens - 1))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, window_tokens)))
-    return F.when(n >= window_tokens, grams).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(starts, lambda i: F.xxhash64(F.slice(toks_col, i, window_tokens)))
+    return F.when(n >= window_tokens, grams).otherwise(F.array().cast("array<long>"))
 
 
 def doc_windows(
@@ -57,10 +70,11 @@ def doc_windows(
 ) -> DataFrame:
     """(id, pos, h): 64-bit hash of every ``window_tokens``-token window,
     pos = 0-based token index of the window start."""
-    return docs.select(
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    return toked.select(
         F.col(id_col),
-        F.posexplode(_window_grams(F.col(text_col), window_tokens)).alias("pos", "_gram"),
-    ).select(id_col, "pos", F.xxhash64("_gram").alias("h"))
+        F.posexplode(_window_hashes("_toks", window_tokens)).alias("pos", "h"),
+    )
 
 
 def oversized_windows(
@@ -102,9 +116,19 @@ def substring_dup_pairs(
         )
     w = doc_windows(docs, id_col, text_col, window_tokens)
     # adversarial-skew cap (same contract as lsh_candidate_pairs): count
-    # DOCS per hash, drop boilerplate windows half the corpus shares
+    # DOCS per hash, drop boilerplate windows half the corpus shares.
+    # The lower bound is pure pruning: a window seen in ONE doc can never
+    # produce an (id_a < id_b) pair, and single-doc windows are the vast
+    # majority of any real corpus — dropping them before the self-join
+    # shrinks both join inputs to just the genuinely shared windows.
     per_h = w.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-    w = w.join(per_h.filter(F.col("_nd") <= max_bucket).select("h"), "h")
+    keep_h = per_h.filter((F.col("_nd") >= 2) & (F.col("_nd") <= max_bucket)).select("h")
+    # the filtered window set feeds BOTH sides of the self-join; without a
+    # materialization each side re-runs the tokenize+window pass AND its
+    # own copy of the per_h aggregate (4 full passes over the corpus,
+    # measured). It is small by construction (shared windows only, bucket
+    # size capped), so pin it to executor storage and cut the lineage.
+    w = w.join(keep_h, "h", "left_semi").localCheckpoint(eager=True)
 
     a = w.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "h")
     b = w.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "h")

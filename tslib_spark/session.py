@@ -80,6 +80,24 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_BASE_CONF)
+    # Scan-parallelism floor (guide §6): a single small parquet file maps to
+    # ONE scan task under maxPartitionBytes, serializing the whole map side
+    # of expression-heavy queries (measured: the 50k-doc text queries ran
+    # their explode/agg map stages on one core). Floor the split count at
+    # 2× the core count — scale-adaptive (derived from SPARK_GRAFT_CPUS
+    # locally, set it to ~2× total executor cores on a cluster via
+    # SPARK_GRAFT_MIN_SCAN_PARTS); it can only SPLIT small inputs further,
+    # so the 100 TB behavior (large files, maxPartitionBytes-sized splits)
+    # is unchanged.
+    try:
+        n_cores = int("".join(c for c in master.split("[", 1)[1] if c.isdigit()) or "32") \
+            if "[" in master else 32
+    except Exception:
+        n_cores = 32
+    conf.setdefault(
+        "spark.sql.files.minPartitionNum",
+        os.environ.get("SPARK_GRAFT_MIN_SCAN_PARTS", str(2 * max(1, n_cores))),
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
