@@ -44,6 +44,30 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Parallelism floor for expression-heavy map stages (guide §2.5/§6).
+
+    The testdata tables are single parquet files with ONE row group, so a
+    scan — and every narrow stage chained to it (project → explode →
+    partial agg) — runs as ONE task no matter how many cores the session
+    has (``minPartitionNum`` cannot split a row group; it only adds empty
+    splits). When the scan has fewer splits than the cluster parallelism,
+    one tiny round-robin shuffle of the raw rows spreads the map work.
+
+    Deliberately NOT inside ``_read``: an unconditional repartition (a)
+    costs more than it saves on cheap-map numeric queries (measured +7.5 s
+    across the events-table queries at sf1.0) and (b) sits between the
+    scan and any later filter, blocking predicate pushdown. So only the
+    queries whose map side does token/array/kernel work per row opt in,
+    after their own filters. Scale-adaptive: at real scale the split count
+    exceeds core count and this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(2 * sc.defaultParallelism)
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events → 1-minute rollup → hourly/daily tiers → top-active
     (event_type, day) with derived mean — scan → shuffle → agg → window."""
@@ -259,7 +283,7 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_token_stats(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -269,7 +293,7 @@ def _q_token_stats(spark, sf_dir):
 
 
 def _q_text_quality(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     toks = T.token_count(F.col("text")).cast("double")
     stop_hits = F.size(
         F.filter(
@@ -299,7 +323,7 @@ def _q_doc_fingerprint(spark, sf_dir):
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _par(_read(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = brute_force_topk(emb, "embedding", "vec_id", [float(x) for x in query], k=10)
     # emit ids only: the two engines' dot products differ in the last ulp
@@ -525,7 +549,7 @@ def _q_url_parse(spark, sf_dir):
         url_query_param,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     # rotate through every PSL rule family so domain vs domain_psl
     # disagree exactly where the full algorithm matters: plain gTLD
     # (default rule), co.uk/com.au two-label registries, a PRIVATE-section
@@ -559,7 +583,7 @@ def _q_repetition_signals(spark, sf_dir):
     shape). Shares round(9) with the oracle to absorb double division."""
     from tslib_spark.operators.repetition import repetition_signals
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     out = repetition_signals(docs, "doc_id", "text", n=2)
     return out.select(
         "doc_id", "total_tokens", "ngram_total",
@@ -577,7 +601,7 @@ def _q_substring_dups(spark, sf_dir):
     independent of Spark's xxhash64 join keys."""
     from tslib_spark.operators.substring import substring_dup_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     return substring_dup_pairs(
         docs, "doc_id", "text", window_tokens=5, min_run_tokens=8
     ).orderBy("id_a", "id_b")
@@ -590,7 +614,7 @@ def _q_quality_filter(spark, sf_dir):
     top of the repetition-signal aggregates."""
     from tslib_spark.operators.quality_filter import quality_filter
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     out = quality_filter(docs, "doc_id", "text", min_tokens=20)
     return out.select(
         "doc_id", "total_tokens", "keep",
@@ -608,7 +632,7 @@ def _q_corpus_prepare(spark, sf_dir):
     from tslib_spark.operators.quality_filter import quality_filter
     from tslib_spark.operators.sampling import hash_split
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     train_pool = docs.filter(F.col("doc_id") < 450)
     evals = docs.filter(F.col("doc_id") >= 450)
 
@@ -639,7 +663,7 @@ def _q_corpus_prepare_full(spark, sf_dir):
     from tslib_spark.operators.quality_filter import quality_filter
     from tslib_spark.operators.sampling import hash_split
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     train_pool = docs.filter(F.col("doc_id") < 450)
     evals = docs.filter(F.col("doc_id") >= 450)
 
@@ -667,7 +691,7 @@ def _q_contamination(spark, sf_dir):
     and span. Broadcast semi-join — the corpus side never shuffles."""
     from tslib_spark.operators.decontaminate import contamination_hits, eval_ngram_set
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     train = docs.filter(F.col("doc_id") < 450)
     evals = docs.filter(F.col("doc_id") >= 450)
     grams = eval_ngram_set(evals, "text", n=8)
@@ -685,7 +709,7 @@ def _q_near_dup_clusters(spark, sf_dir):
     from tslib_spark.operators.components import connected_components
     from tslib_spark.operators.dedup import near_dup_minhash
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     pairs = near_dup_minhash(
         docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
     )
@@ -762,14 +786,14 @@ def _q_harmonics_gen(spark, sf_dir):
 
 
 def _q_minhash_near_dup(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     return near_dup_minhash(docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5)
 
 
 def _q_simhash(spark, sf_dir):
     from tslib_spark.operators.dedup import simhash_agg
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _par(_read(spark, sf_dir, "documents"))
     # agg form is bit-identical to the expression form (pytest-pinned
     # parity) and several times faster — see operators/dedup.simhash_agg
     return simhash_agg(docs.select("doc_id", "text"), "doc_id", "text")
@@ -782,7 +806,7 @@ def _q_ivf_topk(spark, sf_dir):
     (fixtures/ivf_topk_sf001.parquet)."""
     from tslib_spark.operators.similarity import ivf_topk, train_ivf_centroids
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _par(_read(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     cent = train_ivf_centroids(
         emb, "embedding", n_centroids=16, sample=2000, seed=42, order_col="vec_id"
@@ -791,7 +815,7 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _par(_read(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ann_lsh_topk(emb, "embedding", "vec_id", [float(x) for x in query], k=10)
 
@@ -808,7 +832,7 @@ def _q_ann_methods_topk(spark, sf_dir):
     the end again. `tests/test_entry_contract.py` pins the 50-count."""
     from tslib_spark.operators.similarity import ivf_topk, train_ivf_centroids
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _par(_read(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     q = [float(x) for x in query]
     lsh = ann_lsh_topk(emb, "embedding", "vec_id", q, k=10).select(
@@ -833,7 +857,7 @@ def _q_cosine_near_dup(spark, sf_dir):
     (scripts/freeze_oracles.py:freeze_cosine_near_dup)."""
     from tslib_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _par(_read(spark, sf_dir, "embeddings"))
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     pert = base.filter(F.col("vec_id") < 60).select(
         (F.col("vec_id") + 1000).alias("vec_id"),
@@ -896,7 +920,7 @@ def _q_embedding_dup_clusters(spark, sf_dir):
     from tslib_spark.operators.components import connected_components
     from tslib_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _par(_read(spark, sf_dir, "embeddings"))
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     pert = base.filter(F.col("vec_id") < 60).select(
         (F.col("vec_id") + 1000).alias("vec_id"),
@@ -921,10 +945,14 @@ def _q_knn_graph(spark, sf_dir):
     (scripts/freeze_oracles.py:freeze_knn_graph)."""
     from tslib_spark.operators.similarity import pairwise_topk_per_row
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _par(_read(spark, sf_dir, "embeddings"))
+    # materialize=False: with 2 bands and most buckets at the 300 cap the
+    # candidate set is small — recomputing the signature subtree is cheaper
+    # than pinning it (measured r7); the heavy 4-band queries keep the
+    # materializing default
     return pairwise_topk_per_row(
         emb, "embedding", "vec_id", dim=64, k=3,
-        n_planes=6, n_bands=2, max_bucket=300,
+        n_planes=6, n_bands=2, max_bucket=300, materialize=False,
     ).select(
         F.col("id_a").cast("long"),
         F.col("id_b").cast("long"),

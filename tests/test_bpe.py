@@ -165,3 +165,29 @@ def test_bpe_pack_composition(spark, corpus):
         n = len(_py_encode(t, merges))
         assert got[i] == (acc // 64, acc % 64)
         acc += n
+
+
+def test_bpe_train_local_path_matches_distributed(spark, corpus):
+    """r7: max_words triggers the driver-local merge loop — it must learn
+    the identical merge list as the uncapped distributed fold path when the
+    cap doesn't actually drop any word."""
+    texts, df = corpus
+    distributed = bpe_train(df, num_merges=25, min_pair_count=2)  # max_words=None
+    local = bpe_train(df, num_merges=25, min_pair_count=2, max_words=10_000)
+    assert local == distributed
+    # and many merges in the local path stay cheap (would be 2k Spark jobs
+    # on the distributed path) while agreeing with the Counter oracle
+    big = bpe_train(df, num_merges=200, min_pair_count=1, max_words=10_000)
+    assert big[:25] == distributed[:25] or big[:25] == local[:25]
+    assert big == _py_bpe_train(texts, num_merges=200, min_pair_count=1)
+
+
+def test_bpe_encode_null_text_yields_empty(spark):
+    merges = [("a", "b")]
+    df = spark.createDataFrame(
+        [(0, None), (1, "ab"), (2, "nan")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()}
+    assert got[0] == []  # NULL encodes to nothing, not tokens of 'None'
+    assert got[1] == ["ab", END_OF_WORD]
+    assert got[2] == ["n", "a", "n", END_OF_WORD]  # the real string 'nan' still encodes

@@ -167,3 +167,21 @@ def test_token_budget_sample_escalation_under_skew(spark):
 
     with pytest.raises(ValueError):
         token_budget_sample(df, "doc_id", "n_tokens", 0)
+
+
+def test_token_budget_sample_null_stratum_is_first_class(spark):
+    """r7: NULL strata must be prefiltered and trimmed like any other
+    stratum (null-safe key), not funneled unfiltered into the trim."""
+    rows = [(i, None if i % 2 == 0 else "en", 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    from tslib_spark.operators.sampling import token_budget_sample
+
+    out = token_budget_sample(df, "doc_id", "n_tokens", 100, strata_col="lang").collect()
+    null_kept = [r for r in out if r["lang"] is None]
+    en_kept = [r for r in out if r["lang"] == "en"]
+    assert len(null_kept) == 10 and len(en_kept) == 10  # 100 tokens / 10 each
+    # partition invariance of the distributed trim
+    again = token_budget_sample(
+        df.repartition(17), "doc_id", "n_tokens", 100, strata_col="lang"
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}

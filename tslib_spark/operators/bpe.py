@@ -90,7 +90,20 @@ def bpe_train(
             F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0),
             F.array(F.lit(END_OF_WORD)),
         ).alias("sym"),
-    ).localCheckpoint()
+    )
+    if max_words is not None:
+        # capped vocabulary ⇒ the symbol table is driver-sized BY
+        # CONSTRUCTION (≤ max_words rows): collect it once and run the
+        # classic in-memory Sennrich merge loop instead of 2 Spark jobs +
+        # a collect PER MERGE (r6 verdict #3 — 30k-merge production vocabs
+        # mean ~10⁵ driver-orchestrated jobs on the distributed path).
+        # The symbol arrays are collected FROM the same Spark expression
+        # the distributed fold starts from, and the local loop replicates
+        # its pair-count / tiebreak / leftmost-greedy semantics exactly
+        # (pytest-pinned parity), so both paths learn the identical list.
+        sym_freqs = [(list(r["sym"]), int(r["freq"])) for r in words.collect()]
+        return _train_local(sym_freqs, int(num_merges), int(min_pair_count))
+    words = words.localCheckpoint()
 
     merges: list[tuple[str, str]] = []
     for _ in range(int(num_merges)):
@@ -121,6 +134,32 @@ def bpe_train(
         words = words.select("freq", _merge_fold(F.col("sym"), a, b).alias("sym")).localCheckpoint()
         prev.unpersist()
     words.unpersist()
+    return merges
+
+
+def _train_local(
+    sym_freqs: list[tuple[list[str], int]], num_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """In-memory Sennrich merge loop over a driver-sized symbol table —
+    semantics identical to the distributed fold path: adjacent pairs
+    weighted by word frequency (every occurrence counts), argmax with
+    (count desc, pair lexicographic asc) tiebreak, leftmost-greedy
+    non-overlapping merge application."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, freq in sym_freqs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + freq
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b))
+        ranked = [(a, b, a + b)]
+        sym_freqs = [(_apply_merges(syms, ranked), freq) for syms, freq in sym_freqs]
     return merges
 
 
@@ -168,11 +207,17 @@ def bpe_encode(
             return got
 
         for pdf in batches:
-            col = pdf[text_col].astype(str)
+            # NULL text must encode to an empty token array — a bare
+            # astype(str) would fabricate tokens for the literal strings
+            # 'None'/'nan' that the trainer never saw (r6 advice)
+            raw = pdf[text_col]
+            null_mask = raw.isna()
+            col = raw.astype(str)
             if lowercase:
                 col = col.str.lower()
             toks = [
-                [t for w in text.split() for t in encode_word(w)] for text in col
+                [] if is_null else [t for w in text.split() for t in encode_word(w)]
+                for text, is_null in zip(col, null_mask)
             ]
             out = pdf.copy()
             out[out_col] = toks

@@ -17,8 +17,10 @@ Two public families, both pure DataFrame plans (no per-row Python anywhere):
 
 Scale notes (100 TB): LM training is one explode → groupBy(gram) count —
 the same shape as every dedup shuffle here, prunable via ``min_count``.
-Scoring joins gram *strings* against the counts table; the corpus side
-carries only (doc_id, position, gram) and the counts side is min_count-
+Scoring joins 64-bit gram-hash keys against the counts table (fixed-width
+longs through the exchange, never multi-word strings — r6 verdict #6; the
+string path stays the pytest oracle cross-check); the corpus side carries
+only (doc_id, position, gram hashes) and the counts side is min_count-
 pruned (broadcastable when small, shuffle-join otherwise — AQE decides).
 Context counts are recovered from the previous position's joined counts via
 a per-document window ``lag`` instead of extra joins (documents bound the
@@ -103,11 +105,14 @@ def ngram_lm_train(
     """
     if order < 1 or order > 3:
         raise ValueError(f"order must be 1..3, got {order}")
-    toks = _toks(F.col(text_col), lowercase)
+    # materialize the token array once per row first — an inline split is
+    # re-evaluated per transform element (O(n²) regex splits per doc, r7)
+    toked = df.select(_toks(F.col(text_col), lowercase).alias("_toks"))
+    toks = F.col("_toks")
     pieces = []
     for k in range(1, order + 1):
         pieces.append(
-            df.select(F.explode(_grams(toks, k)).alias("gram"))
+            toked.select(F.explode(_grams(toks, k)).alias("gram"))
             .groupBy("gram")
             .agg(F.count(F.lit(1)).alias("count"))
             .select(F.lit(k).alias("order"), "gram", "count")
@@ -150,17 +155,37 @@ def lm_score(
     n_total = int(n_total)
     unk = float(unk_prob) if unk_prob is not None else 1.0 / (n_total + 1.0)
 
-    toks = _toks(F.col(text_col), lowercase)
+    # token array materialized once per row (inline split re-evaluates per
+    # transform element — O(n²) regex splits, r7), and the join keys are
+    # 64-bit hashes of the gram strings instead of the strings themselves:
+    # the per-position exchange carries fixed-width longs, not multi-word
+    # text (r6 verdict #6). A NULL gram (insufficient context) keeps a NULL
+    # key so it can never match; collisions would need two corpus grams at
+    # the same 64-bit value — negligible, and the string path remains the
+    # pytest oracle cross-check.
+    toked = docs.select(F.col(id_col), _toks(F.col(text_col), lowercase).alias("_toks"))
+    toks = F.col("_toks")
     gram_struct = F.transform(
         _positions(toks),
         lambda i: F.struct(*[_gram_at(toks, i, k).alias(f"g{k}") for k in range(1, order + 1)]),
     )
-    pos = docs.select(
+    pos = toked.select(
         F.col(id_col), F.posexplode(gram_struct).alias("pos", "g")
-    ).select(id_col, "pos", *[F.col(f"g.g{k}").alias(f"g{k}") for k in range(1, order + 1)])
+    ).select(
+        id_col,
+        "pos",
+        *[
+            F.when(
+                F.col(f"g.g{k}").isNotNull(), F.xxhash64(F.col(f"g.g{k}"))
+            ).alias(f"g{k}")
+            for k in range(1, order + 1)
+        ],
+    )
 
     for k in range(1, order + 1):
-        side = counts[k].withColumnRenamed("gram", f"g{k}").withColumnRenamed("count", f"c{k}")
+        side = counts[k].select(
+            F.xxhash64("gram").alias(f"g{k}"), F.col("count").alias(f"c{k}")
+        )
         if broadcast_model:
             side = F.broadcast(side)
         pos = pos.join(side, f"g{k}", "left")
@@ -222,7 +247,13 @@ def hashed_ngram_buckets(
     Pure codegen: xxhash64(seed, gram) pmod buckets."""
     if n < 1 or n > 3:
         raise ValueError(f"n must be 1..3, got {n}")
-    toks = _toks(text, lowercase)
+    return _buckets_from_toks(_toks(text, lowercase), buckets, n, seed)
+
+
+def _buckets_from_toks(toks: Column, buckets: int, n: int, seed: int) -> Column:
+    """Bucket array from an (ideally pre-materialized) token-array column —
+    callers that control the DataFrame should project the token array first
+    so the transform lambdas don't re-tokenize per element (r7)."""
     arrays = []
     for k in range(1, n + 1):
         arrays.append(
@@ -240,9 +271,10 @@ def hashed_ngram_buckets(
 
 
 def _bucket_counts(df: DataFrame, text_col: str, buckets: int, n: int, seed: int, lowercase: bool) -> DataFrame:
-    feats = hashed_ngram_buckets(F.col(text_col), buckets=buckets, n=n, seed=seed, lowercase=lowercase)
+    toked = df.select(_toks(F.col(text_col), lowercase).alias("_toks"))
+    feats = _buckets_from_toks(F.col("_toks"), buckets, n, seed)
     return (
-        df.select(F.explode(feats).alias("bucket"))
+        toked.select(F.explode(feats).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("count"))
     )
@@ -303,9 +335,10 @@ def dsir_weights(
     ``buckets`` rows and always broadcast. Documents with no features keep
     weight 0.0.
     """
-    feats = hashed_ngram_buckets(F.col(text_col), buckets=buckets, n=n, seed=seed, lowercase=lowercase)
+    toked = df.select(F.col(id_col), _toks(F.col(text_col), lowercase).alias("_toks"))
+    feats = _buckets_from_toks(F.col("_toks"), buckets, n, seed)
     summed = (
-        df.select(F.col(id_col), F.explode(feats).alias("bucket"))
+        toked.select(F.col(id_col), F.explode(feats).alias("bucket"))
         .join(F.broadcast(log_ratio), "bucket")
         .groupBy(id_col)
         .agg(F.sum("log_ratio").alias("log_weight"))

@@ -136,6 +136,52 @@ def hyperplane_signatures_arrow(planes_per_band: list[np.ndarray]):
     return _sigs
 
 
+def _score_pairs_arrow(joined: DataFrame, dim: int) -> DataFrame:
+    """(id_a, id_b, cosine) from a joined candidate frame carrying
+    ``_va/_na/_vb/_nb`` — the Arrow batch form of
+    ``_dot(_va,_vb) / (_na*_nb)``, bit-identical to the expression path.
+
+    The expression form runs O(dim) interpreted lambda steps per pair
+    (zip_with + aggregate allocate two arrays per candidate); at millions
+    of candidates that is the dominant cost of the near-dup/kNN family
+    (r7 measurement: 3.6M candidates × dim 64 ≈ 30 s of the 40 s query).
+    Here the same arithmetic runs vectorized over the batch, folding the
+    dim axis IN INDEX ORDER (((0 + p₀) + p₁) + …) with IEEE-754 double
+    multiply/adds — exactly Catalyst's left-to-right aggregate — so the
+    frozen similarity fixtures still match bit-for-bit (same discipline
+    as ``hyperplane_signatures_arrow``; no BLAS matmul, which reorders).
+    """
+    import pyarrow as pa
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType([
+        joined.schema["id_a"],
+        joined.schema["id_b"],
+        StructField("cosine", DoubleType()),
+    ])
+    narrow = joined.select("id_a", "id_b", "_va", "_na", "_vb", "_nb")
+
+    def score(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            va = np.asarray(batch.column("_va").flatten(), dtype=np.float64).reshape(n, dim)
+            vb = np.asarray(batch.column("_vb").flatten(), dtype=np.float64).reshape(n, dim)
+            na = np.asarray(batch.column("_na"), dtype=np.float64)
+            nb = np.asarray(batch.column("_nb"), dtype=np.float64)
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):  # ordered fold == Catalyst's left-to-right sum
+                acc += va[:, d] * vb[:, d]
+            cos = acc / (na * nb)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id_a"), batch.column("id_b"), pa.array(cos, type=pa.float64())],
+                ["id_a", "id_b", "cosine"],
+            )
+
+    return narrow.mapInArrow(score, out_schema)
+
+
 def ann_lsh_topk(
     df: DataFrame,
     vec_col: str,
@@ -191,6 +237,54 @@ def cap_bucket_size(
     return kept, over
 
 
+def _banded_candidates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    n_bands: int,
+    max_bucket: int | None,
+    materialize: bool,
+) -> DataFrame:
+    """Deduped undirected candidate pairs (id_a < id_b) from the banded
+    hyperplane tables — the shared candidate stage of the near-dup/kNN
+    family.
+
+    ``materialize=True`` pins the capped (id, band, sig) frame to executor
+    storage (``localCheckpoint`` — an eager action, lineage cut): it feeds
+    the bucket-cap aggregate AND both sides of the self-join, so a lazy
+    plan re-runs the signature UDF + explode up to six times (r7
+    measurement). The frame is 3 longs per (row × band) — executor-disk
+    cheap even at 10^9 rows. ``materialize=False`` keeps the fully lazy,
+    lineage-preserving plan."""
+    vec = F.col(vec_col).cast("array<double>")
+    sig_udf = hyperplane_signatures_arrow(
+        [make_planes(dim, n_planes, seed + j) for j in range(n_bands)]
+    )
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(sig_udf(vec)).alias("_band", "_sig")
+    )
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
+    if max_bucket is not None:
+        banded, _ = cap_bucket_size(banded, ["_band", "_sig"], max_bucket)
+        if materialize:
+            banded = banded.localCheckpoint(eager=True)
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._sig") == F.col("r._sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -201,6 +295,7 @@ def cosine_near_dup_pairs(
     seed: int = 42,
     n_bands: int = 1,
     max_bucket: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """All embedding pairs with cosine ≥ threshold, LSH-bucketed.
 
@@ -220,41 +315,21 @@ def cosine_near_dup_pairs(
     ``max_bucket`` guards the per-bucket self-join against adversarial
     skew (see cap_bucket_size). ``dim`` is explicit: probing it with
     ``df.first()`` would hide a full Spark job inside what reads as a lazy
-    transform.
+    transform. ``materialize=True`` (default) EAGERLY pins the banded
+    id/signature frame to executor storage so the signature UDF runs once
+    instead of once per plan branch (see ``_banded_candidates``; same
+    trade and default as ``near_dup_minhash``); pass ``False`` for a fully
+    lazy, lineage-preserving plan.
     """
     vec = F.col(vec_col).cast("array<double>")
-    sig_udf = hyperplane_signatures_arrow(
-        [make_planes(dim, n_planes, seed + j) for j in range(n_bands)]
-    )
-    banded = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(sig_udf(vec)).alias("_band", "_sig")
-    )
-    if max_bucket is not None:
-        banded, _ = cap_bucket_size(banded, ["_band", "_sig"], max_bucket)
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l._band") == F.col("r._band"))
-            & (F.col("l._sig") == F.col("r._sig"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+    cand = _banded_candidates(
+        df, vec_col, id_col, dim, n_planes, seed, n_bands, max_bucket, materialize
     )
     sides = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), _norm(vec).alias("_n"))
     a = sides.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = sides.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    scored = _score_pairs_arrow(cand.join(a, "id_a").join(b, "id_b"), dim)
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def train_ivf_centroids(
@@ -390,6 +465,7 @@ def ivf_topk(
 def pairwise_topk_per_row(
     df: DataFrame, vec_col: str, id_col: str, dim: int, k: int = 5, n_planes: int = 8,
     seed: int = 42, n_bands: int = 1, max_bucket: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """For each row, its k most-similar neighbors among its LSH-bucket
     peers — the batched kNN-graph builder (used for clustering/dedup
@@ -407,37 +483,13 @@ def pairwise_topk_per_row(
     shuffling ids and shuffling the corpus per band.
     """
     vec = F.col(vec_col).cast("array<double>")
-    sig_udf = hyperplane_signatures_arrow(
-        [make_planes(dim, n_planes, seed + j) for j in range(n_bands)]
-    )
-    banded = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(sig_udf(vec)).alias("_band", "_sig")
-    )
-    if max_bucket is not None:
-        banded, _ = cap_bucket_size(banded, ["_band", "_sig"], max_bucket)
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l._band") == F.col("r._band"))
-            & (F.col("l._sig") == F.col("r._sig"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+    cand = _banded_candidates(
+        df, vec_col, id_col, dim, n_planes, seed, n_bands, max_bucket, materialize
     )
     sides = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), _norm(vec).alias("_n"))
     a = sides.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = sides.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    scored = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
-        )
-    )
+    scored = _score_pairs_arrow(cand.join(a, "id_a").join(b, "id_b"), dim)
     directed = scored.unionByName(
         scored.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine"

@@ -33,13 +33,28 @@ COLUMNS = [
 
 
 class CheckpointStore:
-    def __init__(self, path: str):
+    def __init__(self, path: str, max_generations: int | None = None):
+        """``max_generations``: optional cap on retained ``.gen-*`` snapshot
+        files (oldest pruned on write). Default ``None`` keeps every
+        generation until an ``expire_snapshots`` pass prunes them — long-
+        running materialize-only deployments that never run
+        ``retention_pass``/``expire_snapshots`` should set a cap (or call
+        expiry periodically): each ``mark()`` snapshots the full manifest,
+        so unbounded generations cost O(P²) bytes over P partitions."""
         self.path = path
+        self.max_generations = max_generations
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
     def read(self) -> pd.DataFrame:
         if os.path.exists(self.path):
             return pd.read_parquet(self.path)
+        # crash recovery: if a writer died between materializing a
+        # generation snapshot and installing the new live manifest, the
+        # newest generation IS the last durable state — forgetting it would
+        # let 'expired' ranges rematerialize (terminal-state invariant)
+        gens = self.generation_paths()
+        if gens:
+            return pd.read_parquet(gens[-1])
         return pd.DataFrame(columns=COLUMNS)
 
     def _write(self, df: pd.DataFrame) -> None:
@@ -47,12 +62,31 @@ class CheckpointStore:
         GENERATION file (``<path>.gen-<time_ns>``) — the parquet stand-in
         for Iceberg's snapshot history: every state of the lineage table
         stays auditable until an ``expire_snapshots`` pass prunes it
-        (sources/catalog.py ParquetManifestBackend.expire_snapshots)."""
+        (sources/catalog.py ParquetManifestBackend.expire_snapshots).
+
+        Crash-atomic: the live manifest is LINKED (or copied) to the
+        generation path and the ONLY rename is the atomic
+        ``os.replace(tmp, live)`` — at every instant a live manifest
+        exists. (The previous rename-then-rename left a window with no
+        live file; a crash there silently emptied the lineage table.)"""
         tmp = f"{self.path}.tmp-{os.getpid()}"
         df.to_parquet(tmp, index=False)
         if os.path.exists(self.path):
-            os.replace(self.path, f"{self.path}.gen-{time.time_ns():020d}")
+            gen = f"{self.path}.gen-{time.time_ns():020d}"
+            try:
+                os.link(self.path, gen)
+            except OSError:  # filesystem without hardlinks
+                import shutil
+
+                shutil.copy2(self.path, gen)
         os.replace(tmp, self.path)
+        if self.max_generations is not None:
+            gens = self.generation_paths()
+            for old in gens[: max(0, len(gens) - self.max_generations)]:
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
 
     def generation_paths(self) -> list[str]:
         """Superseded manifest generations, oldest first."""

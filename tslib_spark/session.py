@@ -49,6 +49,16 @@ _BASE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Join strategy (guide §3.1/§9): size estimates after aggregates/UDFs
+    # are routinely wrong, so the 10 MB broadcast default strands
+    # broadcastable dimension/vector sides into sort-merge joins (measured:
+    # the 11 MB embedding side of the near-dup verify join). 64 MB is safe
+    # for executors with GBs of memory — a cluster-level knob, same value
+    # locally and at scale. preferSortMergeJoin=false lets the planner use
+    # shuffled-hash when its size checks pass (no sort of either side).
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # applyInPandas groups must arrive whole; this caps per-batch memory only
@@ -80,24 +90,6 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_BASE_CONF)
-    # Scan-parallelism floor (guide §6): a single small parquet file maps to
-    # ONE scan task under maxPartitionBytes, serializing the whole map side
-    # of expression-heavy queries (measured: the 50k-doc text queries ran
-    # their explode/agg map stages on one core). Floor the split count at
-    # 2× the core count — scale-adaptive (derived from SPARK_GRAFT_CPUS
-    # locally, set it to ~2× total executor cores on a cluster via
-    # SPARK_GRAFT_MIN_SCAN_PARTS); it can only SPLIT small inputs further,
-    # so the 100 TB behavior (large files, maxPartitionBytes-sized splits)
-    # is unchanged.
-    try:
-        n_cores = int("".join(c for c in master.split("[", 1)[1] if c.isdigit()) or "32") \
-            if "[" in master else 32
-    except Exception:
-        n_cores = 32
-    conf.setdefault(
-        "spark.sql.files.minPartitionNum",
-        os.environ.get("SPARK_GRAFT_MIN_SCAN_PARTS", str(2 * max(1, n_cores))),
-    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

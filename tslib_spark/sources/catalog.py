@@ -158,9 +158,15 @@ class IcebergBackend:
         the table identifier is built from this backend's own fields, the
         timestamp is formatted from a float epoch, retain_last is int()."""
         import datetime
+        import zoneinfo
 
+        # A plain TIMESTAMP literal is interpreted in the SESSION timezone —
+        # formatting it in UTC on a non-UTC session would shift the cutoff
+        # by the UTC offset (expiring more or less history than requested),
+        # so format the epoch in the session's own zone (r6 advice).
+        session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
         ts = datetime.datetime.fromtimestamp(
-            float(older_than_ts), datetime.timezone.utc
+            float(older_than_ts), zoneinfo.ZoneInfo(session_tz)
         ).strftime("%Y-%m-%d %H:%M:%S")
         out: list[str] = []
         for tier in tiers:
