@@ -58,9 +58,11 @@ def _par(df: DataFrame) -> DataFrame:
     costs more than it saves on cheap-map numeric queries (measured +7.5 s
     across the events-table queries at sf1.0) and (b) sits between the
     scan and any later filter, blocking predicate pushdown. So only the
-    queries whose map side does token/array/kernel work per row opt in,
-    after their own filters. Scale-adaptive: at real scale the split count
-    exceeds core count and this is a no-op.
+    documents text queries — whose map side tokenizes/hashes every row —
+    opt in, after their own filters. The embeddings queries do NOT: their
+    per-row work runs in Arrow batch kernels and the repartition measured
+    as pure overhead at both sf0.1 and sf1.0. Scale-adaptive: at real
+    scale the split count exceeds core count and this is a no-op.
     """
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
@@ -323,7 +325,7 @@ def _q_doc_fingerprint(spark, sf_dir):
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
-    emb = _par(_read(spark, sf_dir, "embeddings"))
+    emb = _read(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = brute_force_topk(emb, "embedding", "vec_id", [float(x) for x in query], k=10)
     # emit ids only: the two engines' dot products differ in the last ulp
@@ -806,7 +808,7 @@ def _q_ivf_topk(spark, sf_dir):
     (fixtures/ivf_topk_sf001.parquet)."""
     from tslib_spark.operators.similarity import ivf_topk, train_ivf_centroids
 
-    emb = _par(_read(spark, sf_dir, "embeddings"))
+    emb = _read(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     cent = train_ivf_centroids(
         emb, "embedding", n_centroids=16, sample=2000, seed=42, order_col="vec_id"
@@ -815,7 +817,7 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    emb = _par(_read(spark, sf_dir, "embeddings"))
+    emb = _read(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ann_lsh_topk(emb, "embedding", "vec_id", [float(x) for x in query], k=10)
 
@@ -832,7 +834,7 @@ def _q_ann_methods_topk(spark, sf_dir):
     the end again. `tests/test_entry_contract.py` pins the 50-count."""
     from tslib_spark.operators.similarity import ivf_topk, train_ivf_centroids
 
-    emb = _par(_read(spark, sf_dir, "embeddings"))
+    emb = _read(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     q = [float(x) for x in query]
     lsh = ann_lsh_topk(emb, "embedding", "vec_id", q, k=10).select(
@@ -857,7 +859,7 @@ def _q_cosine_near_dup(spark, sf_dir):
     (scripts/freeze_oracles.py:freeze_cosine_near_dup)."""
     from tslib_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = _par(_read(spark, sf_dir, "embeddings"))
+    emb = _read(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     pert = base.filter(F.col("vec_id") < 60).select(
         (F.col("vec_id") + 1000).alias("vec_id"),
@@ -920,7 +922,7 @@ def _q_embedding_dup_clusters(spark, sf_dir):
     from tslib_spark.operators.components import connected_components
     from tslib_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = _par(_read(spark, sf_dir, "embeddings"))
+    emb = _read(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     pert = base.filter(F.col("vec_id") < 60).select(
         (F.col("vec_id") + 1000).alias("vec_id"),
@@ -945,14 +947,10 @@ def _q_knn_graph(spark, sf_dir):
     (scripts/freeze_oracles.py:freeze_knn_graph)."""
     from tslib_spark.operators.similarity import pairwise_topk_per_row
 
-    emb = _par(_read(spark, sf_dir, "embeddings"))
-    # materialize=False: with 2 bands and most buckets at the 300 cap the
-    # candidate set is small — recomputing the signature subtree is cheaper
-    # than pinning it (measured r7); the heavy 4-band queries keep the
-    # materializing default
+    emb = _read(spark, sf_dir, "embeddings")
     return pairwise_topk_per_row(
         emb, "embedding", "vec_id", dim=64, k=3,
-        n_planes=6, n_bands=2, max_bucket=300, materialize=False,
+        n_planes=6, n_bands=2, max_bucket=300,
     ).select(
         F.col("id_a").cast("long"),
         F.col("id_b").cast("long"),

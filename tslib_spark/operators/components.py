@@ -67,12 +67,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = sym.groupBy("u").agg(F.min("v").alias("mb"))
     mins = mins.select("u", F.least(F.col("mb"), F.col("u")).alias("m"))
+    # no .distinct() here (r7): duplicate (lo, hi) rows are harmless to the
+    # small-star step that always follows (its min-aggregate and final
+    # distinct absorb them), and dropping it removes one full exchange per
+    # round
     return (
         sym.filter(F.col("v") > F.col("u"))
         .join(mins, "u")
         .filter(F.col("v") != F.col("m"))
         .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
-        .distinct()
     )
 
 

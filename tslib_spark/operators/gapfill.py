@@ -36,18 +36,42 @@ def densify_grid(
     Grid generation is distributed: one `sequence` per series key, exploded.
     A series spanning 3 weeks of minutes is ~30k rows — well within a single
     task; series counts scale out across tasks.
+
+    One shuffle total (r7): each observed row emits itself plus the
+    missing buckets up to its successor (``lead`` over the series order →
+    one ``sequence`` explode per gap) — the old shape joined the exploded
+    [min, max] grid back against the input, a second full exchange of the
+    dense grid keyed on (keys, ts). Gap generation is per-row and
+    streaming (no per-series map/array is ever materialized), duplicate
+    observed (keys, ts) rows pass through exactly as the join produced
+    them, and the window partitioning is the same (keys) partitioning the
+    fill operators need next, so Spark reuses the exchange.
     """
     value_cols = value_cols or [c for c in df.columns if c not in keys + [ts_col]]
-    spans = df.groupBy(*keys).agg(
-        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    stepped = df.withColumn("_nxt", F.lead(ts_col).over(w))
+    step_iv = F.expr(f"interval {step}")
+    gap_start = F.col(ts_col) + step_iv
+    gaps = F.when(
+        F.col("_nxt").isNotNull() & (F.col("_nxt") > gap_start),
+        F.sequence(gap_start, F.col("_nxt") - step_iv, step_iv),
+    ).otherwise(F.array().cast(f"array<{df.schema[ts_col].dataType.simpleString()}>"))
+    ticked = stepped.withColumn(
+        "_ticks",
+        F.concat(
+            F.array(F.struct(F.col(ts_col).alias("_t"), F.lit(True).alias("_obs"))),
+            F.transform(gaps, lambda g: F.struct(g.alias("_t"), F.lit(False).alias("_obs"))),
+        ),
     )
-    grid = spans.select(
+    exploded = ticked.select(*keys, *value_cols, F.explode("_ticks").alias("_tick"))
+    return exploded.select(
         *keys,
-        F.explode(
-            F.sequence(F.col("_t0"), F.col("_t1"), F.expr(f"interval {step}"))
-        ).alias(ts_col),
+        F.col("_tick._t").alias(ts_col),
+        *[
+            F.when(F.col("_tick._obs"), F.col(c)).alias(c)
+            for c in value_cols
+        ],
     )
-    return grid.join(df, on=keys + [ts_col], how="left")
 
 
 def middle_fill(

@@ -32,8 +32,8 @@ from pyspark.sql import functions as F
 
 from .components import connected_components
 from .similarity import (
-    _dot,
     _norm,
+    _score_pairs_arrow,
     cap_bucket_size,
     ivf_assign,
     pairwise_topk_per_row,
@@ -94,16 +94,14 @@ def semdedup_pairs(
     sides = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), _norm(vec).alias("_n"))
     a = sides.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = sides.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    pairs = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    # Arrow ordered-fold scorer — bit-identical to the expression dot (see
+    # similarity._score_pairs_arrow), removing the O(dim) interpreted
+    # lambda cost per candidate pair (r7); dim comes from the centroid
+    # matrix (no hidden df.first() job)
+    scored = _score_pairs_arrow(
+        cand.join(a, "id_a").join(b, "id_b"), int(centroids.shape[1])
     )
+    pairs = scored.filter(F.col("cosine") >= threshold)
     if dropped is None:
         dropped = pairs.sparkSession.createDataFrame([], "_ivf int, bucket_count long")
     return pairs, dropped, assigned
