@@ -40,15 +40,6 @@ def dup_token_frac(text: Column) -> Column:
     )
 
 
-def _ngrams(text: Column, n: int) -> Column:
-    """Array of space-joined word n-grams; empty when the doc has < n tokens."""
-    toks = tokens(text)
-    total = F.size(toks)
-    starts = F.sequence(F.lit(1), total - F.lit(n - 1))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(total >= n, grams).otherwise(F.array().cast("array<string>"))
-
-
 def _ngram_stats(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, ngram_total, top_cnt, dup_cnt) for docs with ≥ n tokens only —
     the two-level aggregate; callers left-join to cover short docs.
