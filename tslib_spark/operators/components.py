@@ -135,7 +135,13 @@ def connected_components(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _materialize(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint(eager=True)
+        # reliable checkpoints stay eager (a lazy rdd.checkpoint() re-runs
+        # the job after the first action); localCheckpoint is marked lazily
+        # so the fingerprint collect that always follows doubles as the
+        # materializing action — one job per round instead of two
+        if checkpoint_dir:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=False)
 
     edges = _materialize(_canon(pairs, src, dst))
     fp = _fingerprint(edges)
